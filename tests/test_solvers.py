@@ -1,0 +1,131 @@
+"""ODE solver tests: convergence orders on closed-form problems,
+adaptive dopri5 accuracy, gradient flow, and fn-eval counting."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_gp_ode_tpu.dynamics.solvers import odeint, SOLVERS
+
+
+def exp_rhs(t, z):
+    return -z
+
+
+def exp_sol(z0, ts):
+    return z0[None] * np.exp(-np.asarray(ts))[:, None, None]
+
+
+def rot_rhs(t, z):
+    # rotation in 2D: dz = [[0,-1],[1,0]] z
+    A = jnp.array([[0.0, -1.0], [1.0, 0.0]])
+    return z @ A.T
+
+
+@pytest.fixture
+def z0():
+    return jnp.asarray(np.random.RandomState(0).randn(4, 2), jnp.float32)
+
+
+@pytest.mark.parametrize('method', list(SOLVERS))
+def test_solver_accuracy_exponential(method, z0):
+    ts = jnp.linspace(0.0, 1.5, 16)
+    sol = odeint(exp_rhs, z0, ts, method=method, dense=4)
+    expect = exp_sol(np.asarray(z0), ts)
+    tol = {'euler': 0.05, 'bdf': 0.05}.get(method, 5e-3)
+    np.testing.assert_allclose(np.asarray(sol.zs), expect, atol=tol)
+    assert sol.zs.shape == (16, 4, 2)
+    # first output is exactly z0
+    np.testing.assert_allclose(np.asarray(sol.zs[0]), np.asarray(z0))
+
+
+@pytest.mark.parametrize('method,order', [
+    ('euler', 1), ('midpoint', 2), ('rk4', 4),
+    ('explicit_adams', 2), ('fixed_adams', 2), ('bdf', 2),
+])
+def test_convergence_order(method, order, z0):
+    """Halving the step should reduce error by ~2^order."""
+    ts = jnp.linspace(0.0, 1.0, 3)
+    # coarse steps for high-order methods so error stays above f32 roundoff
+    dense_pair = (2, 4) if order >= 4 else (8, 16)
+    errs = []
+    for dense in dense_pair:
+        sol = odeint(rot_rhs, z0, ts, method=method, dense=dense)
+        # exact: rotation by angle t
+        t_end = float(ts[-1])
+        c, s = np.cos(t_end), np.sin(t_end)
+        R = np.array([[c, -s], [s, c]])
+        expect = np.asarray(z0) @ R.T
+        errs.append(np.abs(np.asarray(sol.zs[-1]) - expect).max())
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > order - 0.55, f'{method}: observed rate {rate}'
+
+
+def test_dopri5_tight_tolerance(z0):
+    ts = jnp.linspace(0.0, 3.0, 10)
+    sol = odeint(rot_rhs, z0, ts, method='dopri5', rtol=1e-6, atol=1e-6,
+                 max_steps=512)
+    t = np.asarray(ts)
+    c, s = np.cos(t), np.sin(t)
+    z0n = np.asarray(z0)
+    expect = np.stack([
+        np.stack([c[i] * z0n[:, 0] - s[i] * z0n[:, 1],
+                  s[i] * z0n[:, 0] + c[i] * z0n[:, 1]], axis=1)
+        for i in range(len(t))])
+    np.testing.assert_allclose(np.asarray(sol.zs), expect, atol=1e-4)
+    assert int(sol.nfe) > 0
+
+
+def test_euler_matches_hand_rolled(z0):
+    """Bit-parity with the reference solver semantics: for the uniform grid
+    the euler solution is z_{k+1} = z_k + dt f(z_k)."""
+    ts = jnp.arange(5) * 0.1
+    sol = odeint(exp_rhs, z0, ts, method='euler', dense=1)
+    z = np.asarray(z0)
+    expect = [z]
+    for _ in range(4):
+        z = z + 0.1 * (-z)
+        expect.append(z)
+    np.testing.assert_allclose(np.asarray(sol.zs), np.stack(expect),
+                               rtol=1e-6)
+
+
+def test_nfe_counts():
+    z0 = jnp.ones((2, 2))
+    ts = jnp.arange(16) * 0.1
+    assert int(odeint(exp_rhs, z0, ts, method='euler').nfe) == 15
+    assert int(odeint(exp_rhs, z0, ts, method='rk4').nfe) == 60
+    assert int(odeint(exp_rhs, z0, ts, method='midpoint', dense=2).nfe) == 60
+
+
+@pytest.mark.parametrize('method', ['euler', 'rk4', 'dopri5', 'fixed_adams'])
+def test_gradients_through_solver(method, z0):
+    """d(final state)/d(theta) through the solve matches the closed form
+    for dz = -theta z: z(t) = z0 exp(-theta t)."""
+    ts = jnp.linspace(0.0, 1.0, 8)
+
+    def loss(theta):
+        sol = odeint(lambda t, z: -theta * z, z0, ts, method=method,
+                     dense=4, max_steps=256)
+        return jnp.sum(sol.zs[-1])
+
+    g = jax.grad(loss)(jnp.asarray(0.7))
+    expect = float(jnp.sum(-1.0 * z0 * jnp.exp(-0.7)))
+    assert np.isfinite(float(g))
+    np.testing.assert_allclose(float(g), expect, rtol=0.05)
+
+
+def test_remat_matches_no_remat(z0):
+    ts = jnp.linspace(0.0, 1.0, 6)
+
+    def run(remat):
+        def loss(theta):
+            sol = odeint(lambda t, z: -theta * z, z0, ts, method='rk4',
+                         remat=remat)
+            return jnp.sum(sol.zs ** 2)
+        return jax.value_and_grad(loss)(jnp.asarray(0.5))
+
+    (v1, g1), (v2, g2) = run(True), run(False)
+    np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
+    np.testing.assert_allclose(float(g1), float(g2), rtol=1e-5)

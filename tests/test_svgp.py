@@ -1,0 +1,151 @@
+"""SVGP layer tests: whitened KL closed form, inducing sampling,
+pathwise sample consistency, exact conditional sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_gp_ode_tpu.core.transforms import unpack_tril, pack_tril, softplus
+from vae_gp_ode_tpu.gp import svgp
+
+
+@pytest.fixture
+def params():
+    return svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=4, D_out=4,
+                                 M=12, kernel='RBF', dimwise=True)
+
+
+def np_whitened_kl(Um, L_stack):
+    """KL(N(m, LL^T) || N(0, I)) summed over output dims."""
+    D = L_stack.shape[0]
+    M = Um.shape[0]
+    total = 0.0
+    for d in range(D):
+        L = np.tril(L_stack[d])
+        m = Um[:, d]
+        trace = np.sum(L * L)
+        mah = m @ m
+        logdet = 2.0 * np.sum(np.log(np.abs(np.diag(L))))
+        total += 0.5 * (trace + mah - M - logdet)
+    return total
+
+
+def test_kl_matches_closed_form(params):
+    rng = np.random.RandomState(0)
+    M, D = params.M, params.D_out
+    # random well-conditioned scales + means
+    Ls = np.stack([np.tril(rng.randn(M, M) * 0.1) + np.eye(M)
+                   for _ in range(D)]).astype(np.float32)
+    Um = rng.randn(M, D).astype(np.float32) * 0.5
+    p = params.replace(Um=jnp.asarray(Um),
+                       Us_sqrt=pack_tril(jnp.asarray(Ls)))
+    kl = float(svgp.svgp_kl(p))
+    expect = np_whitened_kl(Um, Ls)
+    np.testing.assert_allclose(kl, expect, rtol=1e-4)
+
+
+def test_kl_zero_at_standard_normal(params):
+    M, D = params.M, params.D_out
+    eye = jnp.broadcast_to(jnp.eye(M), (D, M, M))
+    p = params.replace(Um=jnp.zeros((M, D)), Us_sqrt=pack_tril(eye))
+    assert abs(float(svgp.svgp_kl(p))) < 1e-5
+
+
+def test_kl_diag_branch():
+    p = svgp.init_svgp_params(jax.random.PRNGKey(1), D_in=3, D_out=3,
+                              M=8, kernel='RBF', q_diag=True)
+    rng = np.random.RandomState(1)
+    us = rng.randn(8, 3).astype(np.float32)
+    Um = rng.randn(8, 3).astype(np.float32) * 0.3
+    p = p.replace(Um=jnp.asarray(Um), Us_sqrt=jnp.asarray(us))
+    sd = np.asarray(softplus(jnp.asarray(us)))
+    expect = 0.0
+    for d in range(3):
+        expect += 0.5 * np.sum(sd[:, d] ** 2 + Um[:, d] ** 2 - 1.0
+                               - np.log(sd[:, d] ** 2))
+    np.testing.assert_allclose(float(svgp.svgp_kl(p)), expect, rtol=1e-4)
+
+
+def test_sample_inducing_moments(params):
+    """Mean/cov of u ~ q(u) match m and L L^T."""
+    rng = np.random.RandomState(2)
+    M, D = params.M, params.D_out
+    Ls = np.stack([np.tril(rng.randn(M, M) * 0.05) + 0.3 * np.eye(M)
+                   for _ in range(D)]).astype(np.float32)
+    Um = rng.randn(M, D).astype(np.float32)
+    p = params.replace(Um=jnp.asarray(Um), Us_sqrt=pack_tril(jnp.asarray(Ls)))
+
+    n = 20000
+    eps = jax.random.normal(jax.random.PRNGKey(3), (n, M, D))
+    us = jax.vmap(lambda e: svgp.sample_inducing(p, epsilon=e))(eps)
+    us = np.asarray(us)
+    np.testing.assert_allclose(us.mean(0), Um, atol=0.02)
+    # covariance of output dim 0 across samples
+    c = np.cov((us[:, :, 0] - Um[:, 0]).T)
+    expect = Ls[0] @ Ls[0].T
+    np.testing.assert_allclose(c, expect, atol=0.02)
+
+
+def test_draw_fn_sample_and_eval_shapes(params):
+    s = svgp.draw_fn_sample(params, jax.random.PRNGKey(4), S=32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (9, params.D_in))
+    f = svgp.fn_eval(params, s, x)
+    assert f.shape == (9, params.D_out)
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_fn_sample_interpolates_whitened_inducing_values():
+    """In the whitened parameterisation the pathwise sample satisfies
+    f(Z) ~= L u at the inducing locations, where L = chol(K + jitter I)
+    and u ~ q(u) is the whitened inducing sample:
+    f(Z) = prior(Z) + K L^{-T}(u - L^{-1} prior(Z)) -> L u as jitter -> 0."""
+    key = jax.random.PRNGKey(6)
+    p = svgp.init_svgp_params(key, D_in=2, D_out=2, M=6, kernel='RBF')
+    Um = jax.random.normal(jax.random.PRNGKey(7), (6, 2)) * 0.5
+    p = p.replace(Um=Um)
+
+    noise = {
+        'omega': jax.random.normal(jax.random.PRNGKey(8), (2, 64, 2)),
+        'phase_u': jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 2)),
+        'weights': jax.random.normal(jax.random.PRNGKey(10), (64, 2)),
+        'epsilon': jnp.zeros((6, 2)),  # u = Um exactly
+    }
+    s = svgp.draw_fn_sample(p, None, S=64, noise=noise)
+    fZ = np.asarray(svgp.fn_eval(p, s, p.inducing_loc))
+
+    from vae_gp_ode_tpu.kernels.rbf import rbf_gram
+    K = np.asarray(rbf_gram(p.kernel, p.inducing_loc))   # (D, M, M)
+    expect = np.zeros_like(fZ)
+    for d in range(2):
+        L = np.linalg.cholesky(K[d] + 1e-5 * np.eye(6))
+        expect[:, d] = L @ np.asarray(Um)[:, d]
+    np.testing.assert_allclose(fZ, expect, atol=5e-3)
+
+
+def test_df_fn_sample_shapes():
+    p = svgp.init_svgp_params(jax.random.PRNGKey(11), D_in=3, D_out=3,
+                              M=5, kernel='DF')
+    s = svgp.draw_fn_sample(p, jax.random.PRNGKey(12), S=16)
+    assert s.nu.shape == (15, 1)
+    x = jax.random.normal(jax.random.PRNGKey(13), (4, 3))
+    f = svgp.fn_eval(p, s, x)
+    assert f.shape == (4, 3)
+    assert np.isfinite(np.asarray(f)).all()
+
+
+def test_conditional_mean_matches_mc(params):
+    """Exact conditional mean ~= MC average of pathwise samples."""
+    x = jax.random.normal(jax.random.PRNGKey(14), (5, params.D_in))
+    mean, var = svgp.svgp_conditional(params, x)
+    assert mean.shape == (5, params.D_out)
+    assert var.shape == (5, params.D_out)
+
+    keys = jax.random.split(jax.random.PRNGKey(15), 512)
+    fs = jax.vmap(
+        lambda k: svgp.fn_eval(params, svgp.draw_fn_sample(params, k, S=256),
+                               x))(keys)
+    mc_mean = np.asarray(fs).mean(0)
+    # init scale is 1e-3 and Um ~ 0.1: conditional mean is small; MC noise
+    # is dominated by the prior (variance ~ var/2); use a loose tolerance
+    np.testing.assert_allclose(mc_mean, np.asarray(mean), atol=0.05)

@@ -1,0 +1,52 @@
+"""ODE flow over a sampled GP vector field.
+
+Rebuild of the reference ODEfunc/Flow pair (reference:
+experiments/model/core/flow.py:7-102). The reference mutates module state
+(`build_cache`) before each solve; here a pathwise FnSample is drawn
+explicitly by the caller and the RHS is a pure closure, so the whole solve
+lives inside one jitted computation and L Monte-Carlo trajectories become a
+vmapped axis.
+"""
+
+import jax.numpy as jnp
+
+from vae_gp_ode_tpu.gp.svgp import SVGPParams, FnSample, fn_eval, svgp_kl
+from vae_gp_ode_tpu.dynamics.solvers import odeint
+
+
+def make_ode_rhs(gp: SVGPParams, sample: FnSample, order: int):
+    """Build the RHS f(t, z) for a 1st- or 2nd-order latent ODE.
+
+    order 1: dz = f(z)                         (reference flow.py:30-32)
+    order 2: z = (s, v); d(s, v) = (v, f(s,v)) (reference flow.py:34-38)
+    """
+    if order == 1:
+        def rhs(t, z):
+            return fn_eval(gp, sample, z)
+    elif order == 2:
+        def rhs(t, z):
+            q = z.shape[1] // 2
+            ds = z[:, q:]
+            dv = fn_eval(gp, sample, z)
+            return jnp.concatenate([ds, dv], axis=1)
+    else:
+        raise ValueError(f'ODE order must be 1 or 2, got {order}')
+    return rhs
+
+
+def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
+                 solver='euler', dense=1, rtol=1e-6, atol=1e-6,
+                 max_steps=256, remat=True):
+    """Integrate z0 (N, D) over ts (T,) -> (N, T, D) plus fn-eval count.
+
+    reference flow.py:68-86 (the (T, N, D) -> (N, T, D) permute included)
+    """
+    rhs = make_ode_rhs(gp, sample, order)
+    sol = odeint(rhs, z0, ts, method=solver, dense=dense, rtol=rtol,
+                 atol=atol, max_steps=max_steps, remat=remat)
+    return jnp.transpose(sol.zs, (1, 0, 2)), sol.nfe
+
+
+def flow_kl(gp: SVGPParams):
+    """Inducing-posterior KL (reference flow.py:92-96)."""
+    return svgp_kl(gp)

@@ -1,0 +1,150 @@
+"""Divergence-free matrix-valued kernel (the "informative prior").
+
+Semantics match the reference DivergenceFreeKernel (reference:
+experiments/model/core/kernels.py:201-393): an RBF envelope multiplied by a
+Hessian-structure term (diff (x) diff / l^2 + ((D-1) - r^2/l^2) I) which
+guarantees sampled vector fields have zero divergence, plus operator-valued
+random Fourier features (B(w) = |w| I - w w^T / |w|, cos & sin features, 2S
+weights; Brault et al., ORFF) and a single big (M*D, M*D) Cholesky for the
+pathwise update.
+
+Parity notes (quirks preserved deliberately):
+  * the DF kernel uses *unscaled* squared distances with an explicit
+    1/(2 l^2) envelope factor, where l^2 is the full (D, D) dimwise
+    lengthscale matrix broadcast over output-dim pairs
+    (reference kernels.py:217-230, 289-291 - this differs from the RBF
+    class's lengthscale-normalised square_dist).
+  * the params reuse the dimwise RBFParams layout: lengthscales (D, D),
+    variance (D,) (reference kernels.py:201-203 subclasses RBF with
+    dimwise=True).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vae_gp_ode_tpu.core.settings import JITTER
+from vae_gp_ode_tpu.kernels.rbf import (
+    RBFParams, RFFState, rbf_lengthscales, rbf_variance,
+)
+
+
+def _sqdist_unscaled(X, X2=None):
+    """Unscaled squared euclidean distance -> (N, M).
+
+    reference kernels.py:217-230
+    """
+    xn = jnp.sum(X * X, axis=1)
+    X2_ = X if X2 is None else X2
+    x2n = xn if X2 is None else jnp.sum(X2_ * X2_, axis=1)
+    return -2.0 * (X @ X2_.T) + xn[:, None] + x2n[None, :]
+
+
+def _difference(X, X2=None):
+    """(X2 - X) arranged as (D, N, M) (reference kernels.py:233-242:
+    X2.T[:,None,:] - X.T[:,:,None])."""
+    X2_ = X if X2 is None else X2
+    return X2_.T[:, None, :] - X.T[:, :, None]
+
+
+def df_gram(p: RBFParams, X, X2=None):
+    """Matrix-valued gram K(X, X2) -> (N*D, M*D).
+
+    reference kernels.py:265-303
+    """
+    D = X.shape[1]
+    ls = rbf_lengthscales(p)          # (D, D)
+    var = rbf_variance(p)             # (D,)
+    ls2 = ls * ls                     # (D, D)
+
+    sq = _sqdist_unscaled(X, X2)                       # (N, M)
+    sq4 = sq[:, :, None, None]                         # (N, M, 1, 1)
+    rbf_term = var * jnp.exp(-sq4 / (2.0 * ls2))       # (N, M, D, D)
+
+    diff = _difference(X, X2)                          # (D, N, M)
+    # diff_i * diff_j arranged (N, M, D, D), scaled by 1/l^2
+    outer = jnp.transpose(diff[:, None, :, :] * diff[None, :, :, :],
+                          (2, 3, 0, 1))                # (N, M, D, D)
+    term1 = outer / ls2
+
+    eye = jnp.eye(D, dtype=X.dtype)
+    term2 = ((D - 1.0) - sq4 / ls2) * eye[None, None, :, :]   # (N, M, D, D)
+
+    K = rbf_term * (term1 + term2) / ls2               # (N, M, D, D)
+    N = X.shape[0]
+    M = N if X2 is None else X2.shape[0]
+    # interleave output dims with points: (N, D, M, D) -> (N*D, M*D)
+    return jnp.transpose(K, (0, 2, 1, 3)).reshape(N * D, M * D)
+
+
+def df_sample_rff(p: RBFParams, key, S, D_in, D_out,
+                  noise: Optional[dict] = None) -> RFFState:
+    """Draw operator-valued RFF parameters (reference kernels.py:305-316).
+
+    omega: (D, S, D) scaled by dimwise lengthscales; weights: (2S, D)
+    (cos and sin blocks); phase: (1, S, D).
+    """
+    ls = rbf_lengthscales(p)
+    if noise is None:
+        k_om, k_ph, k_w = jax.random.split(key, 3)
+        omega_raw = jax.random.normal(k_om, (D_in, S, D_out))
+        phase_u = jax.random.uniform(k_ph, (1, S, D_out))
+        weights = jax.random.normal(k_w, (2 * S, D_out))
+    else:
+        omega_raw = noise['omega']
+        phase_u = noise['phase_u']
+        weights = noise['weights']
+    omega = omega_raw / ls.T[:, None, :]
+    phase = phase_u * (2.0 * jnp.pi)
+    return RFFState(omega=omega, phase=phase, weights=weights)
+
+
+def df_rff_eval(p: RBFParams, rff: RFFState, x):
+    """Evaluate the operator-valued RFF prior sample at x -> (N, D).
+
+    reference kernels.py:319-351 (ORFF for divergence-free fields,
+    B(w) = |w|_2 I - w w^T / |w|_2 applied per feature; cos and sin
+    feature blocks share B but use independent weights).
+    """
+    D = x.shape[1]
+    var = rbf_variance(p)             # (D,)
+    S = rff.omega.shape[1]
+
+    # B^*(omega): (S, D, D)
+    om1 = jnp.transpose(rff.omega, (1, 0, 2))          # (S, D, D)
+    om2 = jnp.transpose(rff.omega, (1, 2, 0))          # (S, D, D)
+    norm = jnp.sqrt(jnp.sum(rff.omega ** 2, axis=0))[:, None]   # (S, 1, D)
+    ww = om1 @ om2                                     # (S, D, D)
+    eye = jnp.eye(D, dtype=x.dtype)
+    b_omega = norm * eye[None, :] - ww / norm          # (S, D, D)
+    B = jnp.concatenate([b_omega, b_omega], axis=0)    # (2S, D, D)
+
+    xo = jnp.einsum('nd,dfk->nfk', x, rff.omega)       # (N, S, D)
+    phi_cos = jnp.cos(xo + rff.phase)
+    phi_sin = jnp.sin(xo + rff.phase)
+    phi = jnp.concatenate([phi_cos, phi_sin], axis=1)[..., None]  # (N,2S,D,1)
+    phi = phi * B[None] * jnp.sqrt(var / S)            # (N, 2S, D, D)
+    return jnp.sum(phi * rff.weights[None, :, :, None], axis=(1, 2))  # (N, D)
+
+
+def df_compute_nu(p: RBFParams, Ku, u_prior, u):
+    """Pathwise-update coefficients for the matrix-valued kernel.
+
+    One (M*D, M*D) Cholesky + two triangular solves
+    (reference kernels.py:376-387). Returns (M*D, 1).
+    """
+    MD = Ku.shape[0]
+    eye = jnp.eye(MD, dtype=Ku.dtype)
+    Lu = jnp.linalg.cholesky(Ku + eye * JITTER)
+    a = jax.scipy.linalg.solve_triangular(
+        Lu, u_prior.reshape(MD)[:, None], lower=True)
+    nu = jax.scipy.linalg.solve_triangular(
+        Lu.T, u.reshape(MD)[:, None] - a, lower=False)
+    return nu  # (MD, 1)
+
+
+def df_f_update(p: RBFParams, nu, x, Z):
+    """Pathwise update K(x, Z) nu -> (N, D) (reference kernels.py:390-393)."""
+    Kuf = df_gram(p, Z, x)            # (M*D, N*D)
+    return (Kuf.T @ nu).reshape(x.shape)
