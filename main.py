@@ -1,0 +1,342 @@
+"""Coupled VAE-GP-ODE training entry point.
+
+Flag-compatible rebuild of the reference driver (reference:
+experiments/main.py:20-253): same argparse surface (including type=eval
+booleans and the euler default that bypasses the solver choices list),
+same training protocol (Adam lr 1e-3 over all parameters, MC-sample
+schedule L=1 for the first half of training then L=5, per-epoch first-test-
+batch eval + checkpoint, NaN bailout that reloads the last checkpoint and
+emits all plots), same run-dir layout results/<save>_<timestamp>/.
+
+TPU-native differences: one jitted train step (forward + grads + Adam fused
+on device), explicit PRNG keys, checkpoints include optimizer state (the
+reference silently drops Adam moments on resume).
+"""
+
+import argparse
+import os
+import sys
+import time
+from datetime import datetime, timedelta
+
+import numpy as np
+
+SOLVERS = ["dopri5", "bdf", "rk4", "midpoint", "adams", "explicit_adams",
+           "fixed_adams", "euler"]
+KERNELS = ['RBF', 'DF']
+
+parser = argparse.ArgumentParser('Learning latent dynamics with VAE-GP-ODE (TPU)')
+
+# data processing arguments (reference main.py:23-42)
+parser.add_argument('--data_root', type=str, default='data/')
+parser.add_argument('--task', type=str, default='mnist')
+parser.add_argument('--mask', type=eval, default=True,
+                    help="select a subset of mnist data")
+parser.add_argument('--value', type=int, default=3,
+                    help="digit filter")
+parser.add_argument('--data_seqlen', type=int, default=100)
+parser.add_argument('--batch', type=int, default=20)
+parser.add_argument('--T', type=int, default=16)
+parser.add_argument('--Ndata', type=int, default=360)
+parser.add_argument('--Ntest', type=int, default=40)
+parser.add_argument('--rotrand', type=eval, default=True,
+                    help="if True multiple initial rotation angles "
+                         "(no-op unless --rotrand_active, matching the "
+                         "reference's commented-out branch)")
+parser.add_argument('--rotrand_active', type=eval, default=False,
+                    help="actually apply the rot_start reshuffle")
+
+# vae arguments (reference main.py:45-54)
+parser.add_argument('--latent_dim', type=int, default=6)
+parser.add_argument('--n_filt', type=int, default=8)
+parser.add_argument('--frames', type=int, default=5)
+parser.add_argument('--pretrained', type=eval, default=False)
+parser.add_argument('--vae_path', type=str, default='')
+
+# gp arguments (reference main.py:57-71)
+parser.add_argument('--kernel', type=str, default='RBF', choices=KERNELS)
+parser.add_argument('--num_features', type=int, default=256)
+parser.add_argument('--num_inducing', type=int, default=100)
+parser.add_argument('--dimwise', type=eval, default=True)
+parser.add_argument('--variance', type=float, default=0.7)
+parser.add_argument('--lengthscale', type=float, default=2.0)
+parser.add_argument('--q_diag', type=eval, default=False)
+
+# ode solver arguments (reference main.py:75-88)
+parser.add_argument('--ode', type=int, default=1)
+parser.add_argument('--D_in', type=int, default=6)
+parser.add_argument('--D_out', type=int, default=6)
+parser.add_argument('--solver', type=str, default='euler', choices=SOLVERS)
+parser.add_argument('--ts_dense_scale', type=int, default=1,
+                    help="substeps per output interval for fixed solvers")
+parser.add_argument('--use_adjoint', type=eval, default=False,
+                    help="rematerialised reverse mode through the scan "
+                         "(the lax.scan analog of torchdiffeq adjoint)")
+parser.add_argument('--dt', type=float, default=0.1)
+
+# training arguments (reference main.py:92-109)
+parser.add_argument('--Nepoch', type=int, default=5000)
+parser.add_argument('--lr', type=float, default=0.001)
+parser.add_argument('--eval_sample_size', type=int, default=128)
+parser.add_argument('--save', type=str, default='results/mnist')
+parser.add_argument('--seed', type=int, default=121)
+parser.add_argument('--log_freq', type=int, default=5)
+parser.add_argument('--device', type=str, default='tpu',
+                    help="placeholder for device (JAX manages placement)")
+parser.add_argument('--continue_training', type=eval, default=False)
+parser.add_argument('--model_path', type=str, default='None')
+parser.add_argument('--eps_guard', type=eval, default=True,
+                    help="use the EPSILON-guarded Bernoulli log-prob "
+                         "(reference vae.py:149)")
+
+# plotting arguments (reference main.py:113-114)
+parser.add_argument('--Troll', type=int, default=2)
+
+
+def final_plots(logger, args, model, state, trainset, testset, meters,
+                eval_step, roll_step, key):
+    """Latent-dynamics PCA, loss traces, hyperparameter trace, 2x-horizon
+    rollout (reference create_plots.py:6-23)."""
+    import jax
+    from vae_gp_ode_tpu.utils import plotting
+
+    elbo_m, nll_m, zkl_m, ukl_m, hyp_m = meters
+    plotting.plot_trace(elbo_m, nll_m, zkl_m, ukl_m, args.save)
+    plotting.plot_params(hyp_m, args.save)
+
+    for name, loader in (('train', trainset), ('test', testset)):
+        batch = loader.first()
+        ztL = latent_trajectories(model, state, batch, key)
+        plotting.plot_latent_dynamics(
+            np.asarray(ztL), order=args.ode,
+            fname=os.path.join(args.save, f'plots/dynamics_{name}'))
+
+    test_batch = testset.first()[:3]
+    plotting.plot_data(np.asarray(test_batch),
+                       fname=os.path.join(args.save,
+                                          'plots/rollout_original.png'),
+                       size=3)
+    Xrec_roll, _ = roll_step(state, test_batch, key, 1)
+    plotting.plot_rollout(np.asarray(Xrec_roll),
+                          fname=os.path.join(args.save, 'plots/rollout.png'))
+    logger.info('Final plots written to %s', os.path.join(args.save, 'plots'))
+
+
+def latent_trajectories(model, state, batch, key):
+    """Encode + integrate (no decode) for latent-dynamics plots."""
+    Xrec, s_stats, v_stats, nfe = model.apply(
+        {'params': state.vae_params, 'batch_stats': state.batch_stats},
+        batch, state.gp, key, L=1, train=False)
+    import jax
+    import jax.numpy as jnp
+    # re-run just the latent part for the trajectory trace
+    z0, _, _ = model.apply(
+        {'params': state.vae_params, 'batch_stats': state.batch_stats},
+        batch, key, False, method=model.encode)
+    ztL, _ = model.apply(
+        {'params': state.vae_params, 'batch_stats': state.batch_stats},
+        state.gp, z0, batch.shape[1], key, 1,
+        method=model.sample_trajectories)
+    return ztL
+
+
+def main():
+    args = parser.parse_args()
+
+    # ---- run dir + logger (reference main.py:134-139)
+    stamp = datetime.now().strftime('_%d_%m_%Y-%H:%M:%S')
+    args.save = os.path.abspath(args.save + stamp)
+    from vae_gp_ode_tpu.utils import io as io_utils
+    io_utils.makedirs(args.save)
+    io_utils.makedirs(os.path.join(args.save, 'plots'))
+    logger = io_utils.get_logger(logpath=os.path.join(args.save, 'logs'))
+    logger.info('Results stored in %s', args.save)
+    io_utils.save_args(args, os.path.join(args.save, 'args.json'))
+
+    import jax
+    import jax.numpy as jnp
+    if args.device == 'cpu':
+        # this jax build pins jax_platforms='axon,cpu'; honour --device cpu
+        jax.config.update('jax_platforms', 'cpu')
+    logger.info('JAX devices: %s', jax.devices())
+
+    from vae_gp_ode_tpu.data.mnist import load_data
+    from vae_gp_ode_tpu.models.odegpvae import init_model
+    from vae_gp_ode_tpu.core.transforms import invsoftplus
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_train_step, make_eval_step)
+    from vae_gp_ode_tpu.training import checkpoint as ckpt
+    from vae_gp_ode_tpu.training.meters import (
+        CachedRunningAverageMeter, CachedAverageMeter, CachedHyperparams)
+    from vae_gp_ode_tpu.kernels.rbf import rbf_variance, rbf_lengthscales
+    from vae_gp_ode_tpu.utils import plotting
+
+    # ---- seed (reference main.py:142)
+    root_key = jax.random.PRNGKey(args.seed)
+    np.random.seed(args.seed)
+
+    # ---- data (reference main.py:149)
+    trainset, testset = load_data(args)
+    logger.info('Data source: %s | train %s | test %s', trainset.source,
+                trainset.X.shape, testset.X.shape)
+    plotting.plot_data(np.asarray(trainset.first()),
+                       fname=os.path.join(args.save, 'plots/data.png'))
+
+    # ---- model (reference main.py:152-154)
+    k_init, k_run = jax.random.split(root_key)
+    model, variables, gp = init_model(
+        k_init, latent_dim=args.latent_dim, n_filt=args.n_filt,
+        order=args.ode, frames=args.frames, dt=args.dt, solver=args.solver,
+        dense=args.ts_dense_scale, num_features=args.num_features,
+        num_inducing=args.num_inducing, kernel=args.kernel,
+        q_diag=args.q_diag, dimwise=args.dimwise,
+        D_in=args.D_in, D_out=args.D_out, batch=min(2, args.batch),
+        T=args.T)
+
+    # kernel hyperparameter re-initialisation (reference
+    # initialization.py:5-22 + main.py:154: overwrite with CLI values)
+    kern = gp.kernel
+    gp = gp.replace(kernel=kern.replace(
+        unconstrained_lengthscales=jnp.full_like(
+            kern.unconstrained_lengthscales,
+            invsoftplus(jnp.asarray(args.lengthscale, jnp.float32))),
+        unconstrained_variance=jnp.full_like(
+            kern.unconstrained_variance,
+            invsoftplus(jnp.asarray(args.variance, jnp.float32)))))
+
+    # ---- pretrained VAE (reference main.py:157-171)
+    if args.pretrained:
+        enc, dec = ckpt.load_vae_weights(
+            os.path.join(args.vae_path, 'encoder.ckpt'),
+            os.path.join(args.vae_path, 'decoder.ckpt'))
+        variables = dict(variables)
+        params = dict(variables['params'])
+        params['encoder'] = enc['params']
+        params['decoder'] = dec['params']
+        variables['params'] = params
+        bs = dict(variables.get('batch_stats', {}))
+        bs['encoder'] = enc['batch_stats']
+        bs['decoder'] = dec['batch_stats']
+        variables['batch_stats'] = bs
+        logger.info('***** Loaded pretrained VAE from %s *****',
+                    args.vae_path)
+
+    state, tx = create_train_state(model, variables, gp, lr=args.lr,
+                                   freeze_vae=args.pretrained)
+    frozen_vae_ref = jax.tree.map(np.asarray, state.vae_params) \
+        if args.pretrained else None
+
+    logger.info('********** Model Built %s ODE **********', args.ode)
+    logger.info(
+        'Model parameters: num features %d | num inducing %d | num epochs '
+        '%d | lr %g | ode %d | D_in %d | D_out %d | dt %g | kernel %s | '
+        'latent_dim %d | variance %g | lengthscale %g | rotrand %s',
+        args.num_features, args.num_inducing, args.Nepoch, args.lr,
+        args.ode, args.D_in, args.D_out, args.dt, args.kernel,
+        args.latent_dim, args.variance, args.lengthscale, args.rotrand)
+
+    # ---- resume (reference main.py:178-181)
+    ckpt_path = os.path.join(args.save, 'odegpvae_mnist.ckpt')
+    if args.continue_training and args.model_path != 'None':
+        prev = os.path.join(args.model_path, 'odegpvae_mnist.ckpt')
+        state = ckpt.restore_checkpoint(prev, like=state)
+        logger.info('Resume training from %s (step %d, optimizer state '
+                    'included)', prev, int(state.step))
+
+    # ---- meters (reference main.py:185-191)
+    elbo_meter = CachedRunningAverageMeter(10)
+    nll_meter = CachedRunningAverageMeter(10)
+    reg_kl_meter = CachedRunningAverageMeter(10)
+    inducing_kl_meter = CachedRunningAverageMeter(10)
+    mse_meter = CachedAverageMeter()
+    time_meter = CachedAverageMeter()
+    hyperparam_meter = CachedHyperparams()
+    meters = (elbo_meter, nll_meter, reg_kl_meter, inducing_kl_meter,
+              hyperparam_meter)
+
+    train_step = make_train_step(model, tx, num_observations=args.Ndata,
+                                 eps_guard=args.eps_guard)
+    eval_step = make_eval_step(model)
+    roll_step = make_eval_step(model, T_custom=args.Troll * args.T)
+
+    logger.info('********** Started Training **********')
+    begin = time.time()
+    global_itr = 0
+    key = k_run
+
+    for ep in range(args.Nepoch):
+        L = 1 if ep < args.Nepoch // 2 else 5   # reference main.py:200
+        for itr, minibatch in enumerate(trainset):
+            key, k_step = jax.random.split(key)
+            state, metrics = train_step(state, minibatch, k_step, L)
+            loss = float(metrics['loss'])
+
+            # NaN bailout (reference main.py:116-129, 205-207)
+            if np.isnan(loss):
+                logger.info('*** NaN loss at epoch %d/%d: reloading last '
+                            'checkpoint and writing plots ***', ep,
+                            args.Nepoch)
+                if os.path.exists(ckpt_path):
+                    state = ckpt.restore_checkpoint(ckpt_path, like=state)
+                logger.info('Kernel lengthscales %s',
+                            np.asarray(rbf_lengthscales(state.gp.kernel)))
+                logger.info('Kernel variance %s',
+                            np.asarray(rbf_variance(state.gp.kernel)))
+                final_plots(logger, args, model, state, trainset, testset,
+                            meters, eval_step, roll_step, key)
+                sys.exit()
+
+            elbo_meter.update(loss, global_itr)
+            nll_meter.update(float(metrics['nll']), global_itr)
+            reg_kl_meter.update(float(metrics['kl_reg']), global_itr)
+            inducing_kl_meter.update(float(metrics['kl_u']), global_itr)
+            time_meter.update(time.time() - begin, global_itr)
+            hyperparam_meter.update(
+                np.asarray(rbf_variance(state.gp.kernel)), global_itr)
+            global_itr += 1
+
+            if itr % args.log_freq == 0:
+                logger.info(
+                    'Iter:%-3d | Time %s | elbo %8.2f(%8.2f) | '
+                    'nlhood:%8.2f(%8.2f) | kl_reg:%-8.2f(%-8.2f) | '
+                    'kl_u:%8.5f(%8.5f)',
+                    itr, timedelta(seconds=int(time_meter.val)),
+                    elbo_meter.val, elbo_meter.avg, nll_meter.val,
+                    nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg,
+                    inducing_kl_meter.val, inducing_kl_meter.avg)
+
+                # frozen-VAE sanity assertion (reference main.py:230-234)
+                if args.pretrained:
+                    for b, a in zip(
+                            jax.tree_util.tree_leaves(frozen_vae_ref),
+                            jax.tree_util.tree_leaves(state.vae_params)):
+                        assert np.array_equal(b, np.asarray(a)), \
+                            'frozen VAE weights changed!'
+
+        # per-epoch eval: first test batch only (reference main.py:236-246)
+        mse_meter.reset()
+        for itr_test, test_batch in enumerate(testset):
+            key, k_ev = jax.random.split(key)
+            Xrec, test_mse = eval_step(state, test_batch, k_ev, 1)
+            plotting.plot_rot_mnist(
+                np.asarray(test_batch), np.asarray(Xrec[0]), False,
+                fname=os.path.join(args.save, 'plots/rot_mnist.png'))
+            ckpt.save_checkpoint(state, ckpt_path)
+            mse_meter.update(float(test_mse), itr_test)
+            break
+        logger.info('Epoch:%4d/%4d| tr_elbo:%8.2f(%8.2f) | '
+                    'test_mse:%5.3f(%5.3f)\n', ep, args.Nepoch,
+                    elbo_meter.val, elbo_meter.avg, mse_meter.val,
+                    mse_meter.avg)
+
+    logger.info('********** Optimization completed **********')
+    logger.info('Kernel lengthscales %s',
+                np.asarray(rbf_lengthscales(state.gp.kernel)))
+    logger.info('Kernel variance %s',
+                np.asarray(rbf_variance(state.gp.kernel)))
+    final_plots(logger, args, model, state, trainset, testset, meters,
+                eval_step, roll_step, key)
+
+
+if __name__ == '__main__':
+    main()

@@ -16,4 +16,7 @@ if '--xla_force_host_platform_device_count' not in flags:
 
 import jax  # noqa: E402
 
+# this jax build hardcodes jax_platforms='axon,cpu' (ignores the env var):
+# force the CPU backend explicitly so tests use the virtual 8-device mesh
+jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')

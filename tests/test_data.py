@@ -1,0 +1,80 @@
+"""Data pipeline tests: shapes, normalisation, splits, rot_start, loaders."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vae_gp_ode_tpu.data import mnist as dm
+from vae_gp_ode_tpu.data import synthetic
+
+
+def test_synthetic_sequences_shapes_and_range():
+    X = synthetic.make_rotating_sequences(5, T=16, seed=0)
+    assert X.shape == (5, 16, 784)
+    assert X.dtype == np.float32
+    assert X.min() >= 0.0 and X.max() <= 1.0
+    # frames must actually vary (rotation is happening)
+    assert np.abs(X[0, 0] - X[0, 4]).max() > 0.1
+    # the glyph must have substantial support
+    assert (X[0, 0] > 0.3).sum() > 30
+
+
+def test_synthetic_full_rotation_returns_near_start():
+    """T uniform angles covering 360 deg: frame T is frame 0 again, so
+    frame T-1 is one step before closing the loop - it must be closer to
+    frame 0 than the half-rotation frame is."""
+    X = synthetic.make_rotating_sequences(3, T=16, seed=1)
+    d_half = np.abs(X[:, 8] - X[:, 0]).mean()
+    d_last = np.abs(X[:, 15] - X[:, 0]).mean()
+    assert d_last < d_half
+
+
+def test_load_mnist_data_split_and_norm():
+    train, valid, test = dm.load_mnist_data(
+        data_root='/nonexistent', batch_size=4, T=16, Ndata=12, Nvalid=4,
+        Ntest=4, seed=0)
+    assert train.source == 'synthetic'
+    assert train.X.shape == (12, 16, 1, 28, 28)
+    assert valid.X.shape == (4, 16, 1, 28, 28)
+    assert test.X.shape == (4, 16, 1, 28, 28)
+    b = train.first()
+    assert b.shape == (4, 16, 1, 28, 28)
+    # normalised: min is exactly -mean/std where pixels are 0
+    np.testing.assert_allclose(float(b.min()), -0.1307 / 0.3081, rtol=1e-4)
+
+
+def test_loader_iterates_all_and_shuffles():
+    X = np.arange(10, dtype=np.float32).reshape(10, 1)
+    ld = dm.Loader(X, batch_size=3, shuffle=True, seed=0)
+    assert len(ld) == 4
+    seen = np.sort(np.concatenate([np.asarray(b).ravel() for b in ld]))
+    np.testing.assert_array_equal(seen, np.arange(10))
+    # two epochs differ in order
+    e1 = np.concatenate([np.asarray(b).ravel() for b in ld])
+    e2 = np.concatenate([np.asarray(b).ravel() for b in ld])
+    assert not np.array_equal(e1, e2)
+
+
+def test_rot_start_preserves_frame_multiset():
+    X = np.random.RandomState(0).rand(6, 16, 1, 28, 28).astype(np.float32)
+    out = dm.rot_start(X, 16, seed=1)
+    assert out.shape == X.shape
+    for n in range(6):
+        a = np.sort(X[n].reshape(16, -1).sum(1))
+        b = np.sort(out[n].reshape(16, -1).sum(1))
+        # each output frame is one of the input frames (possibly dup of
+        # frame pattern) - total mass multiset should broadly agree
+        assert abs(a.sum() - b.sum()) / a.sum() < 0.2
+
+
+def test_rotating_frames_for_pretraining(tmp_path):
+    train, test = dm.create_rotating_dataset(str(tmp_path), train_n=3,
+                                             test_n=2, n_angles=8)
+    assert train.shape == (3, 8, 1, 28, 28)
+    assert test.shape == (2, 8, 1, 28, 28)
+    p = tmp_path / 'rot_train.npy'
+    np.save(p, train)
+    ld = dm.load_rotating_mnist_data(str(p), n_angle=8, batch_size=5)
+    x, t = ld.first()
+    assert x.shape == (5, 1, 28, 28)
+    assert t.shape == (5,)
+    assert int(t.max()) <= 7

@@ -1,0 +1,169 @@
+"""End-to-end ODEGPVAE tests: forward shapes, ELBO terms, one jitted train
+step improving the loss, 2nd-order and DF variants, T_custom forecasting."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_gp_ode_tpu.models.odegpvae import init_model
+from vae_gp_ode_tpu.training.objectives import (
+    compute_loss, elbo_terms, compute_test_error,
+)
+from vae_gp_ode_tpu.training.trainer import (
+    create_train_state, make_train_step, make_eval_step,
+)
+
+N, T, IMG = 4, 8, 28
+
+
+def make_batch(key, n=N, t=T):
+    x = jax.random.uniform(key, (n, t, 1, IMG, IMG))
+    return (x - 0.1307) / 0.3081
+
+
+@pytest.fixture(scope='module')
+def setup():
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=32, num_inducing=10, batch=N, T=T)
+    return model, variables, gp
+
+
+def test_forward_shapes(setup):
+    model, variables, gp = setup
+    X = make_batch(jax.random.PRNGKey(1))
+    Xrec, (s_mu, s_lv), (v_mu, v_lv), nfe = model.apply(
+        variables, X, gp, jax.random.PRNGKey(2), L=3, train=False)
+    assert Xrec.shape == (3, N, T, 1, IMG, IMG)
+    assert s_mu.shape == (N, 3)
+    assert v_mu is None
+    assert int(nfe) == 3 * (T - 1)   # euler, L=3
+    assert np.isfinite(np.asarray(Xrec)).all()
+    assert float(Xrec.min()) >= 0.0 and float(Xrec.max()) <= 1.0
+
+
+def test_t_custom_forecasting(setup):
+    model, variables, gp = setup
+    X = make_batch(jax.random.PRNGKey(3))
+    Xrec, _, _, _ = model.apply(variables, X, gp, jax.random.PRNGKey(4),
+                                L=1, T_custom=2 * T, train=False)
+    assert Xrec.shape == (1, N, 2 * T, 1, IMG, IMG)
+
+
+def test_elbo_terms_finite(setup):
+    model, variables, gp = setup
+    X = make_batch(jax.random.PRNGKey(5))
+    Xrec, s_stats, v_stats, _ = model.apply(
+        variables, X, gp, jax.random.PRNGKey(6), L=2, train=False)
+    # normalised pixels can be negative: use the guarded log for finiteness
+    lhood, kl_reg, kl_u = elbo_terms(X, Xrec, s_stats, v_stats, gp,
+                                     eps_guard=True)
+    for v in (lhood, kl_reg, kl_u):
+        assert np.isfinite(float(v))
+    assert float(kl_reg) >= 0.0 and float(kl_u) >= 0.0
+
+    loss, nll, _, _ = compute_loss(X, Xrec, s_stats, v_stats, gp, 360.0,
+                                   eps_guard=True)
+    expect = -(lhood * 360.0 - kl_reg * 360.0 - kl_u)
+    np.testing.assert_allclose(float(loss), float(expect), rtol=1e-6)
+    np.testing.assert_allclose(float(nll), -float(lhood), rtol=1e-6)
+
+
+def test_train_step_decreases_loss(setup):
+    model, variables, gp = setup
+    state, tx = create_train_state(model, variables, gp, lr=1e-3)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    X = make_batch(jax.random.PRNGKey(7))
+    key = jax.random.PRNGKey(8)
+    losses = []
+    for i in range(8):
+        state, metrics = step(state, X, jax.random.fold_in(key, i), 1)
+        losses.append(float(metrics['loss']))
+        assert np.isfinite(losses[-1])
+    assert int(state.step) == 8
+    # loss on a fixed batch should drop substantially over a few steps
+    assert losses[-1] < losses[0], f'{losses[0]} -> {losses[-1]}'
+
+
+def test_train_step_L_schedule_recompiles_cleanly(setup):
+    model, variables, gp = setup
+    state, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    X = make_batch(jax.random.PRNGKey(9))
+    state, m1 = step(state, X, jax.random.PRNGKey(10), 1)
+    state, m5 = step(state, X, jax.random.PRNGKey(11), 5)
+    assert np.isfinite(float(m5['loss']))
+    assert int(m5['nfe']) == 5 * (T - 1)
+
+
+def test_eval_step(setup):
+    model, variables, gp = setup
+    state, _ = create_train_state(model, variables, gp)
+    ev = make_eval_step(model)
+    X = make_batch(jax.random.PRNGKey(12))
+    Xrec, mse = ev(state, X, jax.random.PRNGKey(13), 1)
+    assert Xrec.shape == (1, N, T, 1, IMG, IMG)
+    assert np.isfinite(float(mse))
+    manual = compute_test_error(X, Xrec[0])
+    np.testing.assert_allclose(float(mse), float(manual), rtol=1e-6)
+
+
+def test_second_order_model():
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(20), latent_dim=2, n_filt=4, order=2, frames=3,
+        num_features=16, num_inducing=8, batch=N, T=T)
+    assert gp.D_in == 4 and gp.D_out == 2
+    X = make_batch(jax.random.PRNGKey(21))
+    Xrec, (s_mu, _), (v_mu, _), _ = model.apply(
+        variables, X, gp, jax.random.PRNGKey(22), L=2, train=False)
+    assert Xrec.shape == (2, N, T, 1, IMG, IMG)
+    assert v_mu.shape == (N, 2)
+
+    # gradient flows into the velocity encoder
+    state, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    state2, m = step(state, X, jax.random.PRNGKey(23), 1)
+    assert np.isfinite(float(m['loss']))
+    leaves_before = jax.tree_util.tree_leaves(
+        state.vae_params['encoder_v'])
+    leaves_after = jax.tree_util.tree_leaves(state2.vae_params['encoder_v'])
+    assert any(not np.allclose(b, a)
+               for b, a in zip(leaves_before, leaves_after))
+
+
+def test_df_kernel_model():
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(30), latent_dim=3, n_filt=4, order=1,
+        kernel='DF', num_features=16, num_inducing=6, batch=N, T=T)
+    X = make_batch(jax.random.PRNGKey(31))
+    Xrec, _, _, _ = model.apply(variables, X, gp, jax.random.PRNGKey(32),
+                                L=1, train=False)
+    assert Xrec.shape == (1, N, T, 1, IMG, IMG)
+    assert np.isfinite(np.asarray(Xrec)).all()
+
+    state, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    state, m = step(state, X, jax.random.PRNGKey(33), 1)
+    assert np.isfinite(float(m['loss']))
+
+
+def test_frozen_vae_training():
+    """freeze_vae: VAE params must not move; GP params must."""
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(40), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=N, T=T)
+    state, tx = create_train_state(model, variables, gp, freeze_vae=True)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    X = make_batch(jax.random.PRNGKey(41))
+    state2, _ = step(state, X, jax.random.PRNGKey(42), 1)
+    for b, a in zip(jax.tree_util.tree_leaves(state.vae_params),
+                    jax.tree_util.tree_leaves(state2.vae_params)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    assert not np.allclose(np.asarray(state.gp.Um),
+                           np.asarray(state2.gp.Um))

@@ -1,0 +1,170 @@
+"""Rotating-MNIST data pipeline.
+
+Rebuild of the reference data layer (reference: experiments/data/mnist.py,
+utils.py, wrappers.py):
+
+  * `load_mnist_data`: sequence loader for coupled training. Loads
+    `rot-mnist.mat` (keys X (N, 16, 784), Y labels; filtered to digit 3)
+    when present, else generates synthetic rotating glyphs with identical
+    shapes. Splits train/valid/test, normalises with MNIST mean/std
+    (reference utils.py:13-15 - a quirk, given the Bernoulli likelihood,
+    preserved by default) and yields (B, T, 1, 28, 28) batches.
+  * `rot_start`: random-initial-angle reshuffle. NOTE: in the reference
+    the --rotrand branch is commented out (mnist.py:67-69) so the flag is
+    a no-op; here it is implemented *active* but defaults to the
+    reference-compatible off behaviour.
+  * `load_rotating_mnist_data` / `create_rotating_dataset`: flat-frame
+    loaders for VAE pretraining (unnormalised [0, 1] pixels,
+    reference mnist.py:130-193).
+
+The dataset is tiny (440 x 16 x 784 floats ~ 22 MB): it lives on-device as
+one jnp array and batching is pure index slicing of a per-epoch
+permutation - no host<->device transfer in the training loop.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from vae_gp_ode_tpu.data import synthetic
+
+MNIST_MEAN = 0.1307
+MNIST_STD = 0.3081
+
+
+class Loader:
+    """Minimal epoch iterator over an on-device array.
+
+    Replaces torch DataLoader (reference mnist.py:43-52): shuffles a
+    permutation per epoch on host, slices on device.
+    """
+
+    def __init__(self, X, batch_size, shuffle=True, seed=0,
+                 labels=None, drop_last=False):
+        self.X = jnp.asarray(X)
+        self.labels = None if labels is None else jnp.asarray(labels)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self._rng = np.random.RandomState(seed)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = self.X.shape[0]
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self):
+        n = self.X.shape[0]
+        idx = self._rng.permutation(n) if self.shuffle else np.arange(n)
+        for i in range(len(self)):
+            sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
+            if self.labels is None:
+                yield self.X[sel]
+            else:
+                yield self.X[sel], self.labels[sel]
+
+    def first(self):
+        it = iter(self)
+        return next(it)
+
+
+def rot_start(X, T, seed=None):
+    """Re-phase each sequence to a random initial rotation angle
+    (reference mnist.py:14-22: take frames from a random start, append the
+    time-reversed prefix)."""
+    rng = np.random.RandomState(seed)
+    N = X.shape[0]
+    start = rng.randint(0, T, N)
+    out = np.empty_like(X)
+    for n in range(N):
+        s = start[n]
+        head = X[n, s:]
+        tail = X[n, 1:s + 1][::-1]
+        out[n] = np.concatenate([head, tail], axis=0)
+    return out
+
+
+def _load_raw_sequences(data_root, Ntotal, T, digit=3, seed=0):
+    """Raw (N, T, 784) in [0, 1]: .mat file if present, else synthetic."""
+    matpath = os.path.join(data_root, 'rot_mnist', 'rot-mnist.mat')
+    if os.path.exists(matpath):
+        import scipy.io as sio
+        d = sio.loadmat(matpath)
+        X = np.squeeze(d['X'])
+        Y = np.squeeze(d['Y'])
+        X = X[Y == digit].astype(np.float32)
+        return X, 'mat'
+    X = synthetic.make_rotating_sequences(Ntotal, T=T, seed=seed)
+    return X, 'synthetic'
+
+
+def load_mnist_data(data_root='data/', batch_size=20, T=16, Ndata=360,
+                    Nvalid=40, Ntest=40, digit=3, rotrand=False,
+                    normalize=True, seed=0):
+    """Train/valid/test Loaders of (B, T, 1, 28, 28) sequences.
+
+    Reference split semantics (mnist.py:34-52): first Ndata train, next 40
+    valid, next 40 test; batch 20; per-item reshape to (T, 1, 28, 28) and
+    mean/std normalisation (utils.py:12-15). `rotrand` applies the
+    rot_start reshuffle the reference left commented out.
+    """
+    Ntotal = Ndata + Nvalid + Ntest
+    X, source = _load_raw_sequences(data_root, Ntotal, T, digit, seed)
+    X = X[:Ntotal].reshape(-1, T, 1, 28, 28).astype(np.float32)
+    if rotrand:
+        X = rot_start(X, T, seed=seed)
+    if normalize:
+        X = (X - MNIST_MEAN) / MNIST_STD
+
+    Xtr = X[:Ndata]
+    Xva = X[Ndata:Ndata + Nvalid]
+    Xte = X[Ndata + Nvalid:Ntotal]
+    train = Loader(Xtr, batch_size, shuffle=True, seed=seed)
+    valid = Loader(Xva, batch_size, shuffle=True, seed=seed + 1)
+    test = Loader(Xte, batch_size, shuffle=True, seed=seed + 2)
+    train.source = valid.source = test.source = source
+    return train, valid, test
+
+
+def load_data(args, plot=False):
+    """Dispatch matching the reference wrapper (wrappers.py:3-6): returns
+    (trainset, testset) for task 'mnist'."""
+    task = getattr(args, 'task', 'mnist')
+    if task != 'mnist':
+        raise ValueError(f'Unknown task {task!r}')
+    train, _, test = load_mnist_data(
+        data_root=getattr(args, 'data_root', 'data/'),
+        batch_size=getattr(args, 'batch', 20),
+        T=getattr(args, 'T', 16),
+        Ndata=getattr(args, 'Ndata', 360),
+        Ntest=getattr(args, 'Ntest', 40),
+        digit=getattr(args, 'value', 3),
+        rotrand=getattr(args, 'rotrand', False) and
+        getattr(args, 'rotrand_active', False),
+        seed=getattr(args, 'seed', 0),
+    )
+    return train, test
+
+
+def create_rotating_dataset(save_dir, digit=3, train_n=100, test_n=10,
+                            n_angles=64, seed=0):
+    """Flat rotating frames for VAE pretraining (reference
+    mnist.py:162-193). Returns (train (train_n*n_angles or layout below),
+    test) arrays shaped (N, n_angles, 1, 28, 28) in [0, 1].
+
+    Without torchvision/network the digits are synthetic glyphs."""
+    train = synthetic.make_rotating_frames(train_n, n_angles, seed=seed)
+    test = synthetic.make_rotating_frames(test_n, n_angles, seed=seed + 1)
+    return train.astype(np.float32), test.astype(np.float32)
+
+
+def load_rotating_mnist_data(data_path, n_angle, batch_size, seed=0):
+    """Flat (frame, time-label) loader over a saved .npy
+    (reference mnist.py:130-146): x (N*n_angle, 1, 28, 28) unnormalised,
+    labels are frame indices 0..n_angle-1."""
+    x = np.load(data_path).reshape((-1, 1, 28, 28)).astype(np.float32)
+    t = np.linspace(0, n_angle - 1, n_angle).astype(np.uint8).reshape(1, -1)
+    labels = np.repeat(t, x.shape[0] // n_angle, axis=0).reshape(-1)
+    return Loader(x, batch_size, shuffle=True, seed=seed, labels=labels)

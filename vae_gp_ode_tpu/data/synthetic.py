@@ -1,0 +1,88 @@
+"""Synthetic rotating-digit data generator.
+
+The reference trains on `data/rot_mnist/rot-mnist.mat` (not redistributed
+with the repo) or on torchvision-downloaded MNIST (reference
+experiments/data/mnist.py:26, 162-193). Neither a dataset file nor network
+access is available in this environment, so this module procedurally draws
+digit-like glyphs and rotates them through uniform angles with
+scipy.ndimage - producing data with the same shapes, value range and
+rotation structure as the reference's rot-MNIST so the full pipeline
+(including published-metric evaluation protocol) runs end-to-end.
+Real `.mat`/`.npy` files are used automatically when present.
+"""
+
+import numpy as np
+
+try:
+    from scipy.ndimage import rotate as _nd_rotate
+    _HAVE_SCIPY = True
+except ImportError:  # pragma: no cover
+    _HAVE_SCIPY = False
+
+
+def _draw_digit3(rng, size=28):
+    """Draw a '3'-like glyph: two stacked right-open arcs, with small
+    random thickness/scale/offset variation per instance."""
+    img = np.zeros((size, size), np.float32)
+    cx = size / 2 + rng.uniform(-1.0, 1.0)
+    cy = size / 2 + rng.uniform(-1.0, 1.0)
+    r = size * 0.22 * rng.uniform(0.9, 1.1)
+    thick = rng.uniform(1.2, 1.9)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+
+    for sign in (-1.0, 1.0):
+        ay = cy + sign * r * 0.85
+        d = np.sqrt((xx - cx) ** 2 + (yy - ay) ** 2)
+        ring = np.exp(-((d - r) ** 2) / (2 * thick ** 2))
+        # keep the right-open part of the arc (angle gate)
+        ang = np.arctan2(yy - ay, xx - cx)
+        gate = np.cos(ang - sign * 0.35) > -0.45
+        img = np.maximum(img, ring * gate)
+
+    img = np.clip(img * rng.uniform(0.95, 1.15), 0.0, 1.0)
+    return img
+
+
+def rotate_image(img, angle_deg):
+    """Rotate one (H, W) image, same conventions as the reference
+    (scipy.ndimage.rotate, reshape=False; reference mnist.py:149-160)."""
+    if _HAVE_SCIPY:
+        return np.clip(
+            _nd_rotate(img, angle_deg, reshape=False, order=1), 0.0, 1.0)
+    raise RuntimeError('scipy required for rotation')
+
+
+def make_rotating_sequences(n_sequences, T=16, size=28, seed=0,
+                            start_angle_zero=True):
+    """Generate (N, T, size*size) float32 in [0, 1]: each sequence is one
+    glyph rotated through T uniform angles covering a full turn.
+
+    Matches the reference rot-MNIST layout: X (N, 16, 784), fixed initial
+    angle (the --rotrand reshuffle is applied downstream when asked).
+    """
+    rng = np.random.RandomState(seed)
+    X = np.zeros((n_sequences, T, size * size), np.float32)
+    angles = np.arange(T) * (360.0 / T)
+    for n in range(n_sequences):
+        base = _draw_digit3(rng, size)
+        offset = 0.0 if start_angle_zero else rng.uniform(0, 360)
+        for t in range(T):
+            X[n, t] = rotate_image(base, angles[t] + offset).reshape(-1)
+    return X
+
+
+def make_rotating_frames(n_digits, n_angles=16, size=28, seed=0):
+    """Generate (n_digits, n_angles, 1, size, size) float32 in [0, 1] -
+    the flat-frame layout used for VAE pretraining (reference
+    mnist.py:162-193: rotate each digit through n_angles uniform angles
+    in [0, 2pi), first frame unrotated)."""
+    rng = np.random.RandomState(seed)
+    angles = np.linspace(0, 2 * np.pi, n_angles)[1:]
+    angles = np.rad2deg(angles)
+    out = np.zeros((n_digits, n_angles, 1, size, size), np.float32)
+    for n in range(n_digits):
+        base = _draw_digit3(rng, size)
+        out[n, 0, 0] = base
+        for i, a in enumerate(angles):
+            out[n, i + 1, 0] = rotate_image(base, a)
+    return out

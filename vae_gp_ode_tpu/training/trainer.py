@@ -1,0 +1,108 @@
+"""Jitted end-to-end train/eval steps.
+
+The reference trains with a Python loop calling .backward() through the
+solver unroll (reference main.py:199-220). Here one `train_step` is a
+single jitted function: forward (encode -> L vmapped GP solves -> decode),
+ELBO, grads for (vae params, gp params) jointly, Adam update, batch-stats
+update - everything fused by XLA on-device. The MC sample count L is a
+static argument (the reference switches L 1 -> 5 at half training,
+main.py:200, which simply selects between two compiled variants).
+"""
+
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vae_gp_ode_tpu.gp.svgp import SVGPParams
+from vae_gp_ode_tpu.training.objectives import compute_loss, compute_test_error
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    vae_params: Any
+    batch_stats: Any
+    gp: SVGPParams
+    opt_state: Any
+
+
+def create_train_state(model, variables, gp: SVGPParams, lr=1e-3,
+                       optimizer: Optional[optax.GradientTransformation] = None,
+                       freeze_vae: bool = False):
+    """Build TrainState + optimizer over (vae_params, gp) jointly
+    (reference main.py:194: single Adam param group, lr 1e-3).
+
+    freeze_vae replicates the pretrained-VAE path (reference
+    main.py:157-171): VAE gradients are zeroed, GP still trains.
+    """
+    tx = optimizer if optimizer is not None else optax.adam(lr)
+    if freeze_vae:
+        tx = optax.multi_transform(
+            {'vae': optax.set_to_zero(), 'gp': tx},
+            param_labels=('vae', 'gp'))
+    params = (variables['params'], gp)
+    opt_state = tx.init(params)
+    return TrainState(
+        step=jnp.asarray(0),
+        vae_params=variables['params'],
+        batch_stats=variables.get('batch_stats', {}),
+        gp=gp,
+        opt_state=opt_state,
+    ), tx
+
+
+def make_train_step(model, tx, num_observations: float,
+                    eps_guard: bool = False):
+    """Returns train_step(state, batch, key, L) jitted with static L."""
+
+    @partial(jax.jit, static_argnums=(3,))
+    def train_step(state: TrainState, batch, key, L: int):
+        def loss_fn(params):
+            vae_params, gp = params
+            (Xrec, s_stats, v_stats, nfe), updates = model.apply(
+                {'params': vae_params, 'batch_stats': state.batch_stats},
+                batch, gp, key, L=L, train=True,
+                mutable=['batch_stats'])
+            loss, nll, kl_reg, kl_u = compute_loss(
+                batch, Xrec, s_stats, v_stats, gp, num_observations,
+                eps_guard=eps_guard)
+            return loss, (nll, kl_reg, kl_u, nfe, updates['batch_stats'])
+
+        params = (state.vae_params, state.gp)
+        (loss, (nll, kl_reg, kl_u, nfe, new_bs)), grads = \
+            jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, state.opt_state, params)
+        new_vae, new_gp = optax.apply_updates(params, updates)
+        new_state = state.replace(
+            step=state.step + 1, vae_params=new_vae, gp=new_gp,
+            batch_stats=new_bs, opt_state=new_opt)
+        metrics = {'loss': loss, 'nll': nll, 'kl_reg': kl_reg,
+                   'kl_u': kl_u, 'nfe': nfe}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, T_custom: Optional[int] = None):
+    """Returns eval_step(state, batch, key, L) -> (Xrec, mse).
+
+    Matches the reference per-epoch eval: L=1 forward in eval mode, squeeze
+    the MC axis, MSE vs input (reference main.py:236-246).
+    """
+
+    @partial(jax.jit, static_argnums=(3,))
+    def eval_step(state: TrainState, batch, key, L: int = 1):
+        Xrec, _, _, nfe = model.apply(
+            {'params': state.vae_params, 'batch_stats': state.batch_stats},
+            batch, state.gp, key, L=L, T_custom=T_custom, train=False)
+        if T_custom is None:
+            mse = compute_test_error(batch, jnp.mean(Xrec, axis=0))
+        else:
+            mse = jnp.asarray(0.0)
+        return Xrec, mse
+
+    return eval_step
