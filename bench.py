@@ -1,0 +1,86 @@
+"""Benchmark: end-to-end VAE-GP-ODE training throughput on the reference
+envelope (rot-MNIST: batch 20, T=16, dt=0.1, euler, M=100 inducing, S=256
+features, q=6, L=1; reference main.py:33-101).
+
+Prints ONE JSON line:
+  {"metric": "train_seqs_per_sec", "value": ..., "unit": "seqs/s",
+   "vs_baseline": ...}
+vs_baseline is the speedup over the PyTorch-CPU reference computation
+(measured in-process by bench_baseline_torch.py, cached in
+.bench_baseline.json; BASELINE.json north-star target: >= 20x).
+"""
+
+import json
+import os
+import time
+
+BATCH, T, Q, M, S, L = 20, 16, 6, 100, 256, 1
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              '.bench_baseline.json')
+
+
+def measure_jax_steps_per_sec(steps=20, warmup=2):
+    import jax
+    import jax.numpy as jnp
+    from vae_gp_ode_tpu.models.odegpvae import init_model
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_train_step)
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
+        num_features=S, num_inducing=M, batch=BATCH, T=T, solver='euler')
+    state, tx = create_train_state(model, variables, gp, lr=1e-3)
+    step = make_train_step(model, tx, num_observations=360.0,
+                           eps_guard=True)
+
+    X = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 1, 28, 28))
+    X = (X - 0.1307) / 0.3081
+    key = jax.random.PRNGKey(2)
+
+    for i in range(warmup):
+        state, metrics = step(state, X, jax.random.fold_in(key, i), L)
+    jax.block_until_ready(metrics['loss'])
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step(state, X, jax.random.fold_in(key, 100 + i), L)
+    jax.block_until_ready(metrics['loss'])
+    dt = time.perf_counter() - t0
+    return steps / dt, float(metrics['nfe'])
+
+
+def get_torch_baseline():
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)['torch_cpu_steps_per_sec']
+    from bench_baseline_torch import measure_torch_cpu_steps_per_sec
+    sps = measure_torch_cpu_steps_per_sec(batch=BATCH, T=T, q=Q, M=M, S=S)
+    with open(BASELINE_CACHE, 'w') as f:
+        json.dump({'torch_cpu_steps_per_sec': sps,
+                   'config': {'batch': BATCH, 'T': T, 'q': Q, 'M': M,
+                              'S': S, 'L': L, 'solver': 'euler'}}, f)
+    return sps
+
+
+def main():
+    jax_sps, nfe_per_step = measure_jax_steps_per_sec()
+    torch_sps = get_torch_baseline()
+    seqs_per_sec = jax_sps * BATCH
+    result = {
+        'metric': 'train_seqs_per_sec',
+        'value': round(seqs_per_sec, 2),
+        'unit': 'seqs/s',
+        'vs_baseline': round(jax_sps / torch_sps, 2),
+        'extra': {
+            'train_steps_per_sec': round(jax_sps, 3),
+            'ode_fn_evals_per_sec': round(jax_sps * nfe_per_step, 1),
+            'torch_cpu_steps_per_sec': round(torch_sps, 3),
+            'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
+                      f'L={L} euler',
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,89 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: data-parallel train
+step equivalence, feature-parallel GP eval equivalence, mesh utilities."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_gp_ode_tpu.parallel import (
+    make_mesh, make_parallel_train_step, shard_batch, replicate,
+    fp_draw_fn_sample, fp_fn_eval,
+)
+from vae_gp_ode_tpu.gp import svgp
+from vae_gp_ode_tpu.models.odegpvae import init_model
+from vae_gp_ode_tpu.training.trainer import create_train_state, make_train_step
+
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason='needs 8 virtual devices')
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh({'data': 4, 'model': 2})
+    assert mesh.axis_names == ('data', 'model')
+    assert mesh.devices.shape == (4, 2)
+    mesh1 = make_mesh()
+    assert mesh1.axis_names == ('data',)
+    with pytest.raises(ValueError):
+        make_mesh({'data': 3}, n_devices=8)
+
+
+def test_data_parallel_matches_single_device():
+    """One DP step over 8 devices must equal the single-device step."""
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=8, T=4)
+    state, tx = create_train_state(model, variables, gp)
+    X = jax.random.uniform(jax.random.PRNGKey(1), (8, 4, 1, 28, 28))
+    key = jax.random.PRNGKey(2)
+
+    step_1 = make_train_step(model, tx, num_observations=8.0,
+                             eps_guard=True)
+    s1, m1 = step_1(state, X, key, 1)
+
+    mesh = make_mesh({'data': 8})
+    step_n = make_parallel_train_step(model, tx, num_observations=8.0,
+                                      mesh=mesh, eps_guard=True)
+    state_r = replicate(state, mesh)
+    X_s = shard_batch(X, mesh)
+    sn, mn = step_n(state_r, X_s, key, 1)
+
+    np.testing.assert_allclose(float(m1['loss']), float(mn['loss']),
+                               rtol=2e-4)
+    # updated GP params agree
+    np.testing.assert_allclose(np.asarray(s1.gp.Um), np.asarray(sn.gp.Um),
+                               rtol=1e-3, atol=1e-5)
+    # a second step runs (donated/replicated state round-trips)
+    sn2, mn2 = step_n(sn, X_s, jax.random.PRNGKey(3), 1)
+    assert np.isfinite(float(mn2['loss']))
+
+
+def test_feature_parallel_fn_eval_matches():
+    mesh = make_mesh({'model': 8})
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=4, D_out=4,
+                               M=12, kernel='RBF', dimwise=True)
+    key = jax.random.PRNGKey(1)
+    S = 64
+    ref_sample = svgp.draw_fn_sample(gp, key, S)
+    x = jax.random.normal(jax.random.PRNGKey(2), (10, 4))
+    f_ref = svgp.fn_eval(gp, ref_sample, x)
+
+    fp_sample = fp_draw_fn_sample(gp, key, S, mesh)
+    f_fp = fp_fn_eval(gp, fp_sample, x, mesh)
+    np.testing.assert_allclose(np.asarray(f_fp), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_feature_parallel_shared_lengthscale():
+    mesh = make_mesh({'model': 4}, n_devices=4)
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(3), D_in=3, D_out=3,
+                               M=8, kernel='RBF', dimwise=False)
+    key = jax.random.PRNGKey(4)
+    ref_sample = svgp.draw_fn_sample(gp, key, 32)
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, 3))
+    f_ref = svgp.fn_eval(gp, ref_sample, x)
+    fp_sample = fp_draw_fn_sample(gp, key, 32, mesh)
+    f_fp = fp_fn_eval(gp, fp_sample, x, mesh)
+    np.testing.assert_allclose(np.asarray(f_fp), np.asarray(f_ref),
+                               rtol=1e-4, atol=1e-5)
