@@ -1,0 +1,150 @@
+"""Pallas fused pathwise-eval tests (interpret mode on CPU; the same kernel
+compiles natively on TPU - exercised by bench and a TPU-side check)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_gp_ode_tpu.gp import svgp
+from vae_gp_ode_tpu.kernels import rbf as rbfk
+from vae_gp_ode_tpu.ops.pathwise import (
+    fused_pathwise_eval, pathwise_eval_reference,
+)
+
+
+def _operands(key, N=20, S=64, M=32, D=6, K=6):
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (N, D))
+    omega = jax.random.normal(ks[1], (D, S, K))
+    phase = jax.random.uniform(ks[2], (1, S, K)) * 2 * np.pi
+    weights = jax.random.normal(ks[3], (S, K))
+    Z = jax.random.normal(ks[4], (M, D))
+    nu = jax.random.normal(ks[5], (K, M))
+    ls = jax.random.uniform(ks[6], (K, D), minval=0.5, maxval=2.0)
+    var = jax.random.uniform(ks[7], (K,), minval=0.3, maxval=1.0)
+    return x, omega, phase, weights, Z, nu, ls, var
+
+
+def test_reference_matches_svgp_composition():
+    """The fused-op reference must equal rff_eval + f_update exactly."""
+    p = rbfk.init_rbf_params(6, 6, dimwise=True, lengthscale=1.2,
+                             variance=0.8)
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=6, D_out=6,
+                               M=16, kernel='RBF')
+    gp = gp.replace(kernel=p)
+    s = svgp.draw_fn_sample(gp, jax.random.PRNGKey(1), S=32)
+    x = jax.random.normal(jax.random.PRNGKey(2), (10, 6))
+
+    composed = (rbfk.rbf_rff_eval(p, s.rff, x)
+                + rbfk.rbf_f_update(p, s.nu, x, gp.inducing_loc))
+    fused_ref = pathwise_eval_reference(
+        x, s.rff.omega, s.rff.phase, s.rff.weights, gp.inducing_loc,
+        s.nu[..., 0], rbfk.rbf_lengthscales(p), rbfk.rbf_variance(p))
+    np.testing.assert_allclose(np.asarray(fused_ref), np.asarray(composed),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_interpret_matches_reference():
+    ops = _operands(jax.random.PRNGKey(3))
+    ref = pathwise_eval_reference(*ops)
+    out = fused_pathwise_eval(*ops, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_odd_shapes():
+    """Non-tile-aligned N/M/S must still be exact (Mosaic pads)."""
+    ops = _operands(jax.random.PRNGKey(4), N=7, S=33, M=13, D=5, K=3)
+    ref = pathwise_eval_reference(*ops)
+    out = fused_pathwise_eval(*ops, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_custom_vjp_matches_reference_grads():
+    ops = _operands(jax.random.PRNGKey(5), N=6, S=16, M=8, D=4, K=4)
+
+    def loss_fused(*args):
+        return jnp.sum(fused_pathwise_eval(*args, interpret=True) ** 2)
+
+    def loss_ref(*args):
+        return jnp.sum(pathwise_eval_reference(*args) ** 2)
+
+    g_fused = jax.grad(loss_fused, argnums=tuple(range(8)))(*ops)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(8)))(*ops)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                                   rtol=5e-4, atol=1e-5)
+
+
+def test_vmap_over_samples():
+    """The op must vmap over the L (MC-sample) axis like the jnp path."""
+    L = 3
+    keys = jax.random.split(jax.random.PRNGKey(6), L)
+    all_ops = [_operands(k, N=5, S=8, M=6, D=3, K=3) for k in keys]
+    stacked = tuple(jnp.stack([o[i] for o in all_ops]) for i in range(8))
+
+    out = jax.vmap(
+        lambda *a: fused_pathwise_eval(*a, interpret=True))(*stacked)
+    ref = jnp.stack([pathwise_eval_reference(*o) for o in all_ops])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_euler_flow_matches_reference_scan():
+    from vae_gp_ode_tpu.ops.flow_fused import (
+        fused_euler_flow, euler_flow_reference)
+    ks = jax.random.split(jax.random.PRNGKey(7), 8)
+    N, S, M, D, T = 6, 16, 8, 4, 6
+    args = (jax.random.normal(ks[0], (N, D)) * 0.5,
+            jax.random.normal(ks[1], (D, S, D)),
+            jax.random.uniform(ks[2], (1, S, D)) * 6.28,
+            jax.random.normal(ks[3], (S, D)),
+            jax.random.normal(ks[4], (M, D)),
+            jax.random.normal(ks[5], (D, M)) * 0.1,
+            jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=2.0),
+            jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0))
+    out = fused_euler_flow(*args, 0.1, T, 1, True)
+    ref = euler_flow_reference(*args, 0.1, T, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    # order 2: state dim 2q, output dim q
+    q = 2
+    args2 = (jax.random.normal(ks[0], (N, 2 * q)) * 0.5,
+             jax.random.normal(ks[1], (2 * q, S, q)),
+             jax.random.uniform(ks[2], (1, S, q)) * 6.28,
+             jax.random.normal(ks[3], (S, q)),
+             jax.random.normal(ks[4], (M, 2 * q)),
+             jax.random.normal(ks[5], (q, M)) * 0.1,
+             jax.random.uniform(ks[6], (q, 2 * q), minval=0.8, maxval=2.0),
+             jax.random.uniform(ks[7], (q,), minval=0.3, maxval=1.0))
+    out2 = fused_euler_flow(*args2, 0.1, T, 2, True)
+    ref2 = euler_flow_reference(*args2, 0.1, T, 2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_euler_flow_grads_match_reference():
+    from vae_gp_ode_tpu.ops.flow_fused import (
+        fused_euler_flow, euler_flow_reference)
+    ks = jax.random.split(jax.random.PRNGKey(8), 8)
+    N, S, M, D, T = 4, 8, 6, 3, 5
+    args = (jax.random.normal(ks[0], (N, D)) * 0.5,
+            jax.random.normal(ks[1], (D, S, D)),
+            jax.random.uniform(ks[2], (1, S, D)) * 6.28,
+            jax.random.normal(ks[3], (S, D)),
+            jax.random.normal(ks[4], (M, D)),
+            jax.random.normal(ks[5], (D, M)) * 0.1,
+            jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=2.0),
+            jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0))
+    gf = jax.grad(lambda *a: jnp.sum(
+        fused_euler_flow(*a, 0.1, T, 1, True) ** 2),
+        argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(
+        euler_flow_reference(*a, 0.1, T, 1) ** 2),
+        argnums=tuple(range(8)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -39,8 +39,25 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
                  max_steps=256, remat=True):
     """Integrate z0 (N, D) over ts (T,) -> (N, T, D) plus fn-eval count.
 
-    reference flow.py:68-86 (the (T, N, D) -> (N, T, D) permute included)
+    reference flow.py:68-86 (the (T, N, D) -> (N, T, D) permute included).
+    On TPU the euler/dimwise-RBF fast path runs the whole trajectory in a
+    single fused Pallas kernel (ops.flow_fused); other solver/kernel
+    combinations use the lax.scan solvers.
     """
+    if (solver == 'euler' and dense == 1 and gp.kernel_name != 'DF'
+            and gp.kernel.dimwise and ts.shape[0] >= 2):
+        from vae_gp_ode_tpu.ops import config as ops_config
+        if ops_config.use_pallas() and ops_config.fuse_flow():
+            from vae_gp_ode_tpu.ops.flow_fused import fused_euler_flow
+            from vae_gp_ode_tpu.kernels.rbf import (
+                rbf_lengthscales, rbf_variance)
+            T = ts.shape[0]
+            zs = fused_euler_flow(
+                z0, sample.rff.omega, sample.rff.phase, sample.rff.weights,
+                gp.inducing_loc, sample.nu[..., 0],
+                rbf_lengthscales(gp.kernel), rbf_variance(gp.kernel),
+                ts[1] - ts[0], T, order)
+            return jnp.transpose(zs, (1, 0, 2)), jnp.asarray(T - 1)
     rhs = make_ode_rhs(gp, sample, order)
     sol = odeint(rhs, z0, ts, method=solver, dense=dense, rtol=rtol,
                  atol=atol, max_steps=max_steps, remat=remat)

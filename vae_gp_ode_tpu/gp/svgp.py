@@ -156,14 +156,26 @@ def draw_fn_sample(p: SVGPParams, key, S, noise: Optional[dict] = None
 def fn_eval(p: SVGPParams, s: FnSample, x):
     """Evaluate the sampled posterior function: f(x) = prior + update.
 
-    The per-ODE-step hot path (reference svpy.py:123-142).
+    The per-ODE-step hot path (reference svpy.py:123-142). On TPU the
+    dimwise-RBF case dispatches to the fused Pallas kernel
+    (ops.pathwise.fused_pathwise_eval); the jnp path is the reference
+    implementation and the reverse-mode graph.
     """
     if p.kernel_name == 'DF':
         f_prior = dfk.df_rff_eval(p.kernel, s.rff, x)
         f_up = dfk.df_f_update(p.kernel, s.nu, x, p.inducing_loc)
-    else:
-        f_prior = rbfk.rbf_rff_eval(p.kernel, s.rff, x)
-        f_up = rbfk.rbf_f_update(p.kernel, s.nu, x, p.inducing_loc)
+        return f_prior + f_up
+    if p.kernel.dimwise:
+        from vae_gp_ode_tpu.ops import config as ops_config
+        from vae_gp_ode_tpu.ops.pathwise import fused_pathwise_eval
+        if ops_config.use_pallas():
+            return fused_pathwise_eval(
+                x, s.rff.omega, s.rff.phase, s.rff.weights,
+                p.inducing_loc, s.nu[..., 0],
+                rbfk.rbf_lengthscales(p.kernel),
+                rbfk.rbf_variance(p.kernel))
+    f_prior = rbfk.rbf_rff_eval(p.kernel, s.rff, x)
+    f_up = rbfk.rbf_f_update(p.kernel, s.nu, x, p.inducing_loc)
     return f_prior + f_up
 
 

@@ -1,0 +1,44 @@
+"""Runtime switches for the Pallas fast paths.
+
+The jnp reference implementations are always available and are the source
+of truth for parity tests and for reverse-mode gradients; the Pallas
+kernels are forward fast paths enabled on TPU backends.
+"""
+
+import jax
+
+_use_pallas = None
+
+
+def use_pallas():
+    """True if the Pallas fast paths should be used (TPU backend, not
+    overridden)."""
+    global _use_pallas
+    if _use_pallas is not None:
+        return _use_pallas
+    try:
+        return jax.default_backend() not in ('cpu',)
+    except Exception:
+        return False
+
+
+def set_use_pallas(value):
+    """Override (True/False) or reset (None) the Pallas fast-path switch."""
+    global _use_pallas
+    _use_pallas = value
+
+
+_fuse_flow = False
+
+
+def fuse_flow():
+    """True if whole-trajectory kernel fusion is enabled. Off by default:
+    the one-kernel trajectory wins for inference/rollout, but in training
+    its custom VJP recomputes the full unfused scan, which measures slower
+    than the per-step fused-eval path (bench: 817 vs 933 steps/s)."""
+    return _fuse_flow
+
+
+def set_fuse_flow(value):
+    global _fuse_flow
+    _fuse_flow = bool(value)
