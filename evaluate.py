@@ -1,0 +1,117 @@
+"""Model evaluation: the reference's notebook protocol as a script.
+
+Rebuild of the eval performed in the reference's plots_dynamics.ipynb /
+plots_dynamics_extended.ipynb (the source of every published number in
+BASELINE.md): `compute_mse_std(model, data, L)` - full-test-set MC
+reconstruction MSE (mean +- std of squared error) - plus 2x-horizon
+rollouts and latent-dynamics PCA plots for a trained checkpoint.
+
+Usage:
+  python evaluate.py --model_path results/mnist_<stamp> [--L 5]
+                     [--Troll 2] [--device cpu]
+Prints one JSON line with mse_mean/mse_std and writes plots next to the
+checkpoint.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+parser = argparse.ArgumentParser('Evaluate a trained VAE-GP-ODE checkpoint')
+parser.add_argument('--model_path', type=str, required=True,
+                    help='run dir containing odegpvae_mnist.ckpt + args.json')
+parser.add_argument('--L', type=int, default=5,
+                    help='MC samples (notebook uses 5)')
+parser.add_argument('--Troll', type=int, default=2,
+                    help='rollout horizon multiplier')
+parser.add_argument('--batch', type=int, default=0,
+                    help='eval batch size (0: use training batch)')
+parser.add_argument('--device', type=str, default='tpu')
+
+
+def compute_mse_std(model, state, loader, L, key):
+    """Full-test-set MC reconstruction MSE, reference notebook cell 13:
+    per-element squared error, MC-averaged reconstruction, returns
+    (mean, std) over all elements."""
+    import jax
+    from vae_gp_ode_tpu.training.trainer import make_eval_step
+
+    ev = make_eval_step(model)
+    sqerrs = []
+    for i, batch in enumerate(loader):
+        key, k = jax.random.split(key)
+        Xrec, _ = ev(state, batch, k, L)
+        rec = np.asarray(Xrec).mean(0)           # MC average (N,T,1,d,d)
+        sqerrs.append(((rec - np.asarray(batch)) ** 2).ravel())
+    allsq = np.concatenate(sqerrs)
+    return float(allsq.mean()), float(allsq.std())
+
+
+def main():
+    args = parser.parse_args()
+
+    import jax
+    if args.device == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+
+    from vae_gp_ode_tpu.data.mnist import load_data
+    from vae_gp_ode_tpu.models.odegpvae import init_model
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_eval_step)
+    from vae_gp_ode_tpu.training import checkpoint as ckpt
+    from vae_gp_ode_tpu.utils import plotting
+
+    with open(os.path.join(args.model_path, 'args.json')) as f:
+        train_args = json.load(f)
+
+    class A:
+        pass
+    ta = A()
+    for k, v in train_args.items():
+        setattr(ta, k, v)
+
+    trainset, testset = load_data(ta)
+    if args.batch:
+        testset.batch_size = args.batch
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=ta.latent_dim, n_filt=ta.n_filt,
+        order=ta.ode, frames=ta.frames, dt=ta.dt, solver=ta.solver,
+        dense=getattr(ta, 'ts_dense_scale', 1),
+        num_features=ta.num_features, num_inducing=ta.num_inducing,
+        kernel=ta.kernel, q_diag=ta.q_diag, dimwise=ta.dimwise,
+        D_in=ta.D_in, D_out=ta.D_out, batch=2, T=ta.T)
+    state, _ = create_train_state(model, variables, gp)
+    state = ckpt.restore_checkpoint(
+        os.path.join(args.model_path, 'odegpvae_mnist.ckpt'), like=state)
+
+    key = jax.random.PRNGKey(ta.seed + 1)
+    mse_mean, mse_std = compute_mse_std(model, state, testset, args.L, key)
+
+    # 2x-horizon rollout (notebook + create_plots.py:19-23)
+    roll = make_eval_step(model, T_custom=args.Troll * ta.T)
+    test_batch = testset.first()[:3]
+    Xroll, _ = roll(state, test_batch, key, 1)
+    out_dir = os.path.join(args.model_path, 'eval')
+    os.makedirs(out_dir, exist_ok=True)
+    plotting.plot_data(np.asarray(test_batch),
+                       fname=os.path.join(out_dir, 'rollout_original.png'),
+                       size=3)
+    plotting.plot_rollout(np.asarray(Xroll),
+                          fname=os.path.join(out_dir, 'rollout.png'))
+
+    result = {
+        'metric': 'test_recon_mse',
+        'mse_mean': round(mse_mean, 6),
+        'mse_std': round(mse_std, 6),
+        'L': args.L,
+        'rollout_T': args.Troll * ta.T,
+        'model_path': args.model_path,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == '__main__':
+    main()

@@ -70,8 +70,9 @@ parser.add_argument('--solver', type=str, default='euler', choices=SOLVERS)
 parser.add_argument('--ts_dense_scale', type=int, default=1,
                     help="substeps per output interval for fixed solvers")
 parser.add_argument('--use_adjoint', type=eval, default=False,
-                    help="rematerialised reverse mode through the scan "
-                         "(the lax.scan analog of torchdiffeq adjoint)")
+                    help="continuous adjoint-ODE reverse mode (O(1) "
+                         "memory); default is rematerialised backprop "
+                         "through the scan (exact gradients)")
 parser.add_argument('--dt', type=float, default=0.1)
 
 # training arguments (reference main.py:92-109)
@@ -191,7 +192,7 @@ def main():
         num_inducing=args.num_inducing, kernel=args.kernel,
         q_diag=args.q_diag, dimwise=args.dimwise,
         D_in=args.D_in, D_out=args.D_out, batch=min(2, args.batch),
-        T=args.T)
+        T=args.T, use_adjoint=args.use_adjoint)
 
     # kernel hyperparameter re-initialisation (reference
     # initialization.py:5-22 + main.py:154: overwrite with CLI values)
@@ -204,11 +205,23 @@ def main():
             kern.unconstrained_variance,
             invsoftplus(jnp.asarray(args.variance, jnp.float32)))))
 
-    # ---- pretrained VAE (reference main.py:157-171)
+    # ---- pretrained VAE (reference main.py:157-171); accepts either our
+    # encoder.ckpt/decoder.ckpt or reference torch encoder.pt/decoder.pt
     if args.pretrained:
-        enc, dec = ckpt.load_vae_weights(
-            os.path.join(args.vae_path, 'encoder.ckpt'),
-            os.path.join(args.vae_path, 'decoder.ckpt'))
+        if os.path.exists(os.path.join(args.vae_path, 'encoder.pt')):
+            from vae_gp_ode_tpu.utils import torch_import as ti
+            enc_sd = ti.load_torch_checkpoint(
+                os.path.join(args.vae_path, 'encoder.pt'))
+            dec_sd = ti.load_torch_checkpoint(
+                os.path.join(args.vae_path, 'decoder.pt'))
+            ep, es = ti.encoder_from_torch(enc_sd, args.n_filt)
+            dp, ds = ti.decoder_from_torch(dec_sd, args.n_filt)
+            enc = {'params': ep, 'batch_stats': es}
+            dec = {'params': dp, 'batch_stats': ds}
+        else:
+            enc, dec = ckpt.load_vae_weights(
+                os.path.join(args.vae_path, 'encoder.ckpt'),
+                os.path.join(args.vae_path, 'decoder.ckpt'))
         variables = dict(variables)
         params = dict(variables['params'])
         params['encoder'] = enc['params']

@@ -42,6 +42,7 @@ class ODEGPVAE(nn.Module):
     atol: float = 1e-6
     max_steps: int = 256
     num_features: int = 256  # S, RFF features per GP sample
+    use_adjoint: bool = False  # continuous adjoint vs remat backprop
 
     def setup(self):
         self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1)
@@ -79,10 +80,18 @@ class ODEGPVAE(nn.Module):
 
         def one(k):
             s = draw_fn_sample(gp, k, self.num_features)
-            zt, nfe = flow_forward(
-                gp, s, z0, ts, order=self.order, solver=self.solver,
-                dense=self.dense, rtol=self.rtol, atol=self.atol,
-                max_steps=self.max_steps)
+            if self.use_adjoint and self.solver in ('euler', 'midpoint',
+                                                    'rk4'):
+                from vae_gp_ode_tpu.dynamics.adjoint import (
+                    flow_forward_adjoint)
+                zt, nfe = flow_forward_adjoint(
+                    gp, s, z0, ts, order=self.order, solver=self.solver,
+                    dense=self.dense)
+            else:
+                zt, nfe = flow_forward(
+                    gp, s, z0, ts, order=self.order, solver=self.solver,
+                    dense=self.dense, rtol=self.rtol, atol=self.atol,
+                    max_steps=self.max_steps)
             return zt, nfe
 
         ztL, nfes = jax.vmap(one)(keys)
@@ -125,7 +134,7 @@ def init_model(key, *, latent_dim=6, n_filt=8, order=1, frames=5, dt=0.1,
                solver='euler', dense=1, rtol=1e-6, atol=1e-6, max_steps=256,
                num_features=256, num_inducing=100, kernel='RBF',
                q_diag=False, dimwise=True, D_in=None, D_out=None,
-               batch=2, T=16, img=28):
+               batch=2, T=16, img=28, use_adjoint=False):
     """Build (model, variables, gp_params) - the equivalent of the
     reference's build_model factory (reference create_model.py:9-35).
 
@@ -140,7 +149,7 @@ def init_model(key, *, latent_dim=6, n_filt=8, order=1, frames=5, dt=0.1,
     model = ODEGPVAE(latent_dim=latent_dim, n_filt=n_filt, order=order,
                      frames=frames, dt=dt, solver=solver, dense=dense,
                      rtol=rtol, atol=atol, max_steps=max_steps,
-                     num_features=num_features)
+                     num_features=num_features, use_adjoint=use_adjoint)
 
     k_gp, k_vae, k_fwd = jax.random.split(key, 3)
     gp = init_svgp_params(k_gp, D_in=D_in, D_out=D_out, M=num_inducing,
