@@ -33,9 +33,11 @@ _fuse_flow = False
 
 def fuse_flow():
     """True if whole-trajectory kernel fusion is enabled. Off by default:
-    the one-kernel trajectory wins for inference/rollout, but in training
-    its custom VJP recomputes the full unfused scan, which measures slower
-    than the per-step fused-eval path (bench: 817 vs 933 steps/s)."""
+    standalone, the fused forward+Pallas-discrete-adjoint backward beats
+    the XLA scan 1.6x (908 vs 1440 us on the trajectory gradient), but
+    embedded in the full vmapped train step it measures 5x slower (4861
+    vs 1011 us/step) - the vmap-lifted kernel grid and operand-packing
+    VJP dominate at these sizes. Enable for inference/rollout paths."""
     return _fuse_flow
 
 

@@ -138,11 +138,10 @@ def _make_kernel(T, order, K):
     return kernel
 
 
-def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
-                 interpret=False):
+def _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order,
+                        interpret=False):
     N, D = z0.shape
-    K = var.shape[0]
-    packed = _pack_operands(omega, phase, weights, Z, nu, ls, var)
+    K = Ww.shape[1]
     dt_arr = jnp.asarray(dt, z0.dtype).reshape(1, 1)
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -152,34 +151,203 @@ def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(z0, *packed, dt_arr)
+    )(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt_arr)
+
+
+def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
+                 interpret=False):
+    packed = _pack_operands(omega, phase, weights, Z, nu, ls, var)
+    return packed_euler_flow(z0, *packed, dt, T, order, interpret)
+
+
+# ---------------------------------------------------------------------------
+# packed-level flow with a hand-written Pallas backward (discrete adjoint)
+# ---------------------------------------------------------------------------
+
+def packed_flow_reference(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+                          order):
+    """jnp mirror of the packed forward kernel (oracle for the backward)."""
+    K = Ww.shape[1]
+
+    def feval(z):
+        xo = z @ omf
+        f1 = jnp.cos(xo + phf) @ Ww
+        cross = z @ Zb
+        xn = (z * z) @ il2
+        Kxz = jnp.exp(-0.5 * (xn + zn - 2.0 * cross))
+        return f1 + Kxz @ Wnu
+
+    def rhs(z):
+        f = feval(z)
+        if order == 2:
+            return jnp.concatenate([z[:, K:], f], axis=1)
+        return f
+
+    def step(z, _):
+        z1 = z + dt * rhs(z)
+        return z1, z1
+
+    _, zs = jax.lax.scan(step, z0, None, length=T - 1)
+    return jnp.concatenate([z0[None], zs], axis=0)
+
+
+def _make_bwd_kernel(T, order, K):
+    """Discrete adjoint of the packed euler flow, one Pallas program.
+
+    Walks t = T-2 .. 0, recomputing the step's forward intermediates from
+    the saved state (cheaper than storing (N, K*S) activations), and
+    accumulates all parameter cotangents in VMEM with MXU matmuls:
+
+      g_t = zsbar[t] + g_{t+1} + dt * (d rhs/d z_t)^T g_{t+1}
+      param_bar += dt * (d rhs/d param)^T g_{t+1}
+    """
+
+    def kernel(zs_ref, zsbar_ref, omf_ref, phf_ref, ww_ref, zb_ref,
+               zn_ref, il2_ref, wnu_ref, dt_ref,
+               z0bar_ref, omfbar_ref, phfbar_ref, wwbar_ref, zbbar_ref,
+               znbar_ref, il2bar_ref, wnubar_ref, dtbar_ref):
+        dt = dt_ref[0, 0]
+        omf = omf_ref[:]
+        phf = phf_ref[:]
+        Ww = ww_ref[:]
+        Zb = zb_ref[:]
+        zn = zn_ref[:]
+        il2 = il2_ref[:]
+        Wnu = wnu_ref[:]
+
+        omfbar_ref[:] = jnp.zeros_like(omfbar_ref)
+        phfbar_ref[:] = jnp.zeros_like(phfbar_ref)
+        wwbar_ref[:] = jnp.zeros_like(wwbar_ref)
+        zbbar_ref[:] = jnp.zeros_like(zbbar_ref)
+        znbar_ref[:] = jnp.zeros_like(znbar_ref)
+        il2bar_ref[:] = jnp.zeros_like(il2bar_ref)
+        wnubar_ref[:] = jnp.zeros_like(wnubar_ref)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=_HI)
+
+        def body(i, carry):
+            g, dtacc = carry
+            t = T - 2 - i
+            z = zs_ref[pl.ds(t, 1)][0]          # (N, D)
+            # --- recompute forward intermediates
+            xo = mm(z, omf)                     # (N, KS)
+            cosv = jnp.cos(xo + phf)
+            sinv = jnp.sin(xo + phf)
+            f1 = mm(cosv, Ww)                   # (N, K)
+            cross = mm(z, Zb)                   # (N, KM)
+            xn = mm(z * z, il2)                 # (N, KM)
+            Kxz = jnp.exp(-0.5 * (xn + zn - 2.0 * cross))
+            f2 = mm(Kxz, Wnu)                   # (N, K)
+            f = f1 + f2
+
+            if order == 2:
+                # rhs = concat(z[:, K:], f); dtbar uses the full rhs
+                dtacc = dtacc + (jnp.sum(g[:, :K] * z[:, K:])
+                                 + jnp.sum(g[:, K:] * f))
+                fbar = dt * g[:, K:]            # (N, K)
+            else:
+                dtacc = dtacc + jnp.sum(g * f)
+                fbar = dt * g                   # (N, K)
+
+            # --- vjp through feval (input cotangent into z, param accums)
+            Kxzbar = mm(fbar, Wnu.T)            # (N, KM)
+            wnubar_ref[:] += mm(Kxz.T, fbar)
+            sqbar = -0.5 * Kxz * Kxzbar         # (N, KM)
+            znbar_ref[:] += jnp.sum(sqbar, axis=0, keepdims=True)
+            il2bar_ref[:] += mm((z * z).T, sqbar)
+            zbbar_ref[:] += mm(z.T, -2.0 * sqbar)
+            zvec = 2.0 * z * mm(sqbar, il2.T) + mm(-2.0 * sqbar, Zb.T)
+
+            cosbar = mm(fbar, Ww.T)             # (N, KS)
+            wwbar_ref[:] += mm(cosv.T, fbar)
+            xobar = -sinv * cosbar              # (N, KS)
+            phfbar_ref[:] += jnp.sum(xobar, axis=0, keepdims=True)
+            omfbar_ref[:] += mm(z.T, xobar)
+            zvec = zvec + mm(xobar, omf.T)      # (N, D)
+
+            # --- chain to g_t
+            g_new = zsbar_ref[pl.ds(t, 1)][0] + g + zvec
+            if order == 2:
+                g_new = g_new.at[:, K:].add(dt * g[:, :K])
+            return g_new, dtacc
+
+        g0, dtacc = jax.lax.fori_loop(
+            0, T - 1, body,
+            (zsbar_ref[pl.ds(T - 1, 1)][0], jnp.float32(0.0)))
+        z0bar_ref[:] = g0
+        dtbar_ref[:] = dtacc.reshape(1, 1)
+
+    return kernel
+
+
+def _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+                     order, interpret=False):
+    N, D = zs.shape[1:]
+    K = Ww.shape[1]
+    KS = Ww.shape[0]
+    KM = Wnu.shape[0]
+    dt_arr = jnp.asarray(dt, zs.dtype).reshape(1, 1)
+    f32 = zs.dtype
+    out_shapes = (
+        jax.ShapeDtypeStruct((N, D), f32),       # z0bar
+        jax.ShapeDtypeStruct((D, KS), f32),      # omfbar
+        jax.ShapeDtypeStruct((1, KS), f32),      # phfbar
+        jax.ShapeDtypeStruct((KS, K), f32),      # wwbar
+        jax.ShapeDtypeStruct((D, KM), f32),      # zbbar
+        jax.ShapeDtypeStruct((1, KM), f32),      # znbar
+        jax.ShapeDtypeStruct((D, KM), f32),      # il2bar
+        jax.ShapeDtypeStruct((KM, K), f32),      # wnubar
+        jax.ShapeDtypeStruct((1, 1), f32),       # dtbar
+    )
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
+        pl.BlockSpec(memory_space=pltpu.SMEM)]
+    return pl.pallas_call(
+        _make_bwd_kernel(T, order, Ww.shape[1]),
+        out_shape=out_shapes,
+        in_specs=in_specs,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in out_shapes),
+        interpret=interpret,
+    )(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dt_arr)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def packed_euler_flow(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order=1,
+                      interpret=False):
+    """Euler GP-ODE flow over packed operands: Pallas forward AND Pallas
+    discrete-adjoint backward (both single kernels)."""
+    return _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+                               order, interpret=interpret)
+
+
+def _pk_fwd(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order, interpret):
+    zs = _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+                             order, interpret=interpret)
+    return zs, (zs, omf, phf, Ww, Zb, zn, il2, Wnu, dt)
+
+
+def _pk_bwd(T, order, interpret, res, zsbar):
+    zs, omf, phf, Ww, Zb, zn, il2, Wnu, dt = res
+    outs = _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu,
+                            dt, T, order, interpret=interpret)
+    (z0bar, omfbar, phfbar, wwbar, zbbar, znbar, il2bar, wnubar,
+     dtbar) = outs
+    return (z0bar, omfbar, phfbar, wwbar, zbbar, znbar, il2bar, wnubar,
+            dtbar[0, 0])
+
+
+packed_euler_flow.defvjp(_pk_fwd, _pk_bwd)
+
+
 def fused_euler_flow(z0, omega, phase, weights, Z, nu, ls, var, dt,
                      T, order=1, interpret=False):
     """One-kernel euler GP-ODE trajectory. Returns zs (T, N, D).
 
-    T and order are static; dt may be traced.
+    T and order are static; dt may be traced. Reverse mode: the packed
+    flow has a hand-written Pallas discrete-adjoint backward; the operand
+    packing (gathers/scales) is differentiated by XLA.
     """
     return _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T,
                         order, interpret=interpret)
-
-
-def _fwd(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
-         interpret):
-    out = _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T,
-                       order, interpret=interpret)
-    return out, (z0, omega, phase, weights, Z, nu, ls, var, dt)
-
-
-def _bwd(T, order, interpret, res, g):
-    def ref(z0, omega, phase, weights, Z, nu, ls, var, dt):
-        return euler_flow_reference(z0, omega, phase, weights, Z, nu, ls,
-                                    var, dt, T, order)
-
-    _, vjp = jax.vjp(ref, *res)
-    return vjp(g)
-
-
-fused_euler_flow.defvjp(_fwd, _bwd)
