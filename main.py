@@ -93,6 +93,11 @@ parser.add_argument('--eps_guard', type=eval, default=True,
 # plotting arguments (reference main.py:113-114)
 parser.add_argument('--Troll', type=int, default=2)
 
+# observability (TPU-native addition: jax.profiler traces)
+parser.add_argument('--profile', type=eval, default=False,
+                    help="capture a jax.profiler trace of training steps "
+                         "into <run_dir>/profile")
+
 
 def final_plots(logger, args, model, state, trainset, testset, meters,
                 eval_step, roll_step, key):
@@ -239,6 +244,9 @@ def main():
     frozen_vae_ref = jax.tree.map(np.asarray, state.vae_params) \
         if args.pretrained else None
 
+    from vae_gp_ode_tpu.utils.summary import summarize
+    logger.info('\n%s\n%s', summarize(state.vae_params, 'vae params'),
+                summarize(state.gp, 'gp params'))
     logger.info('********** Model Built %s ODE **********', args.ode)
     logger.info(
         'Model parameters: num features %d | num inducing %d | num epochs '
@@ -276,8 +284,12 @@ def main():
     begin = time.time()
     global_itr = 0
     key = k_run
+    profiling = False
 
     for ep in range(args.Nepoch):
+        if args.profile and ep == min(1, args.Nepoch - 1) and not profiling:
+            jax.profiler.start_trace(os.path.join(args.save, 'profile'))
+            profiling = True
         L = 1 if ep < args.Nepoch // 2 else 5   # reference main.py:200
         for itr, minibatch in enumerate(trainset):
             key, k_step = jax.random.split(key)
@@ -325,6 +337,12 @@ def main():
                             jax.tree_util.tree_leaves(state.vae_params)):
                         assert np.array_equal(b, np.asarray(a)), \
                             'frozen VAE weights changed!'
+
+        if profiling:
+            jax.profiler.stop_trace()
+            profiling = False
+            logger.info('Profiler trace written to %s',
+                        os.path.join(args.save, 'profile'))
 
         # per-epoch eval: first test batch only (reference main.py:236-246)
         mse_meter.reset()

@@ -22,3 +22,17 @@ def normal(key, shape, dtype=jnp.float32):
 
 def uniform(key, shape, dtype=jnp.float32, minval=0.0, maxval=1.0):
     return jax.random.uniform(key, shape, dtype=dtype, minval=minval, maxval=maxval)
+
+
+def seed_everything(seed):
+    """Seed every host-side RNG and return the root JAX key.
+
+    Counterpart of the reference's seed_everything (torch_utils.py:64-73,
+    which seeds random/numpy/torch/cuda and sets cudnn deterministic).
+    JAX device randomness is fully determined by the returned key.
+    """
+    import random as _random
+    import numpy as _np
+    _random.seed(seed)
+    _np.random.seed(seed)
+    return jax.random.PRNGKey(seed)

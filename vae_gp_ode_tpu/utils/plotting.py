@@ -55,6 +55,13 @@ def plot_rollout(Xrec, fname='rollout.png'):
     plt.close()
 
 
+def plot_rand_rot_mnist(X, Xrec, fname='rand_rot_mnist.png'):
+    """Variant of plot_rot_mnist for random-initial-angle data: pairs of
+    GT/recon rows for the first few sequences (reference plot_utils.py:
+    plot_rand_rot_mnist)."""
+    plot_rot_mnist(X, Xrec, False, fname=fname, N=min(4, len(X)))
+
+
 def plot_data(X, fname='data.png', size=6):
     X = np.asarray(X)
     N = min(X.shape[0], size)
