@@ -87,8 +87,20 @@ parser.add_argument('--device', type=str, default='tpu',
 parser.add_argument('--continue_training', type=eval, default=False)
 parser.add_argument('--model_path', type=str, default='None')
 parser.add_argument('--eps_guard', type=eval, default=True,
-                    help="use the EPSILON-guarded Bernoulli log-prob "
-                         "(reference vae.py:149)")
+                    help="use the EPSILON-guarded Bernoulli log-prob; the "
+                         "reference's live branch is unguarded "
+                         "(vae.py:147; its except branch never fires)")
+parser.add_argument('--plot_freq', type=int, default=1,
+                    help="epochs between eval plots/checkpoints (the "
+                         "reference plots+checkpoints every epoch; host-"
+                         "side matplotlib dominates fast TPU runs)")
+parser.add_argument('--data_parallel', type=eval, default=False,
+                    help="shard the batch over all devices (mesh data "
+                         "axis); single-device when only one chip")
+parser.add_argument('--fast_epoch', type=eval, default=True,
+                    help="scan whole epochs on device (one dispatch per "
+                         "epoch; metrics fetched as arrays). False "
+                         "reproduces the reference's per-iteration loop")
 
 # plotting arguments (reference main.py:113-114)
 parser.add_argument('--Troll', type=int, default=2)
@@ -275,8 +287,29 @@ def main():
     meters = (elbo_meter, nll_meter, reg_kl_meter, inducing_kl_meter,
               hyperparam_meter)
 
-    train_step = make_train_step(model, tx, num_observations=args.Ndata,
-                                 eps_guard=args.eps_guard)
+    if args.data_parallel and len(jax.devices()) > 1:
+        from vae_gp_ode_tpu.parallel import (
+            make_mesh, make_parallel_train_step, replicate, shard_batch)
+        mesh = make_mesh()
+        train_step_p = make_parallel_train_step(
+            model, tx, num_observations=args.Ndata, mesh=mesh,
+            eps_guard=args.eps_guard)
+        state = replicate(state, mesh)
+        logger.info('Data-parallel over %d devices (mesh %s)',
+                    mesh.devices.size, mesh.axis_names)
+
+        def train_step(state, batch, key, L):
+            return train_step_p(state, shard_batch(batch, mesh), key, L)
+    else:
+        train_step = make_train_step(model, tx,
+                                     num_observations=args.Ndata,
+                                     eps_guard=args.eps_guard)
+    use_fast = args.fast_epoch and not args.data_parallel
+    if use_fast:
+        from vae_gp_ode_tpu.training.trainer import make_train_epoch
+        train_epoch = make_train_epoch(model, tx,
+                                       num_observations=args.Ndata,
+                                       eps_guard=args.eps_guard)
     eval_step = make_eval_step(model)
     roll_step = make_eval_step(model, T_custom=args.Troll * args.T)
 
@@ -286,57 +319,80 @@ def main():
     key = k_run
     profiling = False
 
+    def nan_bailout(ep):
+        """Reference main.py:116-129, 205-207."""
+        logger.info('*** NaN loss at epoch %d/%d: reloading last '
+                    'checkpoint and writing plots ***', ep, args.Nepoch)
+        st = state
+        if os.path.exists(ckpt_path):
+            st = ckpt.restore_checkpoint(ckpt_path, like=state)
+        logger.info('Kernel lengthscales %s',
+                    np.asarray(rbf_lengthscales(st.gp.kernel)))
+        logger.info('Kernel variance %s',
+                    np.asarray(rbf_variance(st.gp.kernel)))
+        final_plots(logger, args, model, st, trainset, testset,
+                    meters, eval_step, roll_step, key)
+        sys.exit()
+
+    def record_iter(itr, loss, nll, kl_reg, kl_u, variance):
+        nonlocal global_itr
+        elbo_meter.update(loss, global_itr)
+        nll_meter.update(nll, global_itr)
+        reg_kl_meter.update(kl_reg, global_itr)
+        inducing_kl_meter.update(kl_u, global_itr)
+        time_meter.update(time.time() - begin, global_itr)
+        hyperparam_meter.update(variance, global_itr)
+        global_itr += 1
+        if itr % args.log_freq == 0:
+            logger.info(
+                'Iter:%-3d | Time %s | elbo %8.2f(%8.2f) | '
+                'nlhood:%8.2f(%8.2f) | kl_reg:%-8.2f(%-8.2f) | '
+                'kl_u:%8.5f(%8.5f)',
+                itr, timedelta(seconds=int(time_meter.val)),
+                elbo_meter.val, elbo_meter.avg, nll_meter.val,
+                nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg,
+                inducing_kl_meter.val, inducing_kl_meter.avg)
+
     for ep in range(args.Nepoch):
         if args.profile and ep == min(1, args.Nepoch - 1) and not profiling:
             jax.profiler.start_trace(os.path.join(args.save, 'profile'))
             profiling = True
         L = 1 if ep < args.Nepoch // 2 else 5   # reference main.py:200
-        for itr, minibatch in enumerate(trainset):
-            key, k_step = jax.random.split(key)
-            state, metrics = train_step(state, minibatch, k_step, L)
-            loss = float(metrics['loss'])
 
-            # NaN bailout (reference main.py:116-129, 205-207)
-            if np.isnan(loss):
-                logger.info('*** NaN loss at epoch %d/%d: reloading last '
-                            'checkpoint and writing plots ***', ep,
-                            args.Nepoch)
-                if os.path.exists(ckpt_path):
-                    state = ckpt.restore_checkpoint(ckpt_path, like=state)
-                logger.info('Kernel lengthscales %s',
-                            np.asarray(rbf_lengthscales(state.gp.kernel)))
-                logger.info('Kernel variance %s',
+        if use_fast:
+            # whole-epoch scan: one device dispatch, metrics as arrays
+            key, k_ep = jax.random.split(key)
+            batches = trainset.epoch_batches()
+            state, metrics = train_epoch(state, batches, k_ep, L)
+            losses = np.asarray(metrics['loss'])
+            if not np.isfinite(losses).all():
+                nan_bailout(ep)
+            nlls = np.asarray(metrics['nll'])
+            kl_regs = np.asarray(metrics['kl_reg'])
+            kl_us = np.asarray(metrics['kl_u'])
+            var_now = np.asarray(rbf_variance(state.gp.kernel))
+            for itr in range(len(losses)):
+                record_iter(itr, float(losses[itr]), float(nlls[itr]),
+                            float(kl_regs[itr]), float(kl_us[itr]),
+                            var_now)
+        else:
+            for itr, minibatch in enumerate(trainset):
+                key, k_step = jax.random.split(key)
+                state, metrics = train_step(state, minibatch, k_step, L)
+                loss = float(metrics['loss'])
+                if np.isnan(loss):
+                    nan_bailout(ep)
+                record_iter(itr, loss, float(metrics['nll']),
+                            float(metrics['kl_reg']),
+                            float(metrics['kl_u']),
                             np.asarray(rbf_variance(state.gp.kernel)))
-                final_plots(logger, args, model, state, trainset, testset,
-                            meters, eval_step, roll_step, key)
-                sys.exit()
 
-            elbo_meter.update(loss, global_itr)
-            nll_meter.update(float(metrics['nll']), global_itr)
-            reg_kl_meter.update(float(metrics['kl_reg']), global_itr)
-            inducing_kl_meter.update(float(metrics['kl_u']), global_itr)
-            time_meter.update(time.time() - begin, global_itr)
-            hyperparam_meter.update(
-                np.asarray(rbf_variance(state.gp.kernel)), global_itr)
-            global_itr += 1
-
-            if itr % args.log_freq == 0:
-                logger.info(
-                    'Iter:%-3d | Time %s | elbo %8.2f(%8.2f) | '
-                    'nlhood:%8.2f(%8.2f) | kl_reg:%-8.2f(%-8.2f) | '
-                    'kl_u:%8.5f(%8.5f)',
-                    itr, timedelta(seconds=int(time_meter.val)),
-                    elbo_meter.val, elbo_meter.avg, nll_meter.val,
-                    nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg,
-                    inducing_kl_meter.val, inducing_kl_meter.avg)
-
-                # frozen-VAE sanity assertion (reference main.py:230-234)
-                if args.pretrained:
-                    for b, a in zip(
-                            jax.tree_util.tree_leaves(frozen_vae_ref),
+        # frozen-VAE sanity assertion (reference main.py:230-234)
+        if args.pretrained:
+            for b, a in zip(jax.tree_util.tree_leaves(frozen_vae_ref),
                             jax.tree_util.tree_leaves(state.vae_params)):
-                        assert np.array_equal(b, np.asarray(a)), \
-                            'frozen VAE weights changed!'
+                assert np.array_equal(b, np.asarray(a)), \
+                    'frozen VAE weights changed!'
 
         if profiling:
             jax.profiler.stop_trace()
@@ -349,10 +405,11 @@ def main():
         for itr_test, test_batch in enumerate(testset):
             key, k_ev = jax.random.split(key)
             Xrec, test_mse = eval_step(state, test_batch, k_ev, 1)
-            plotting.plot_rot_mnist(
-                np.asarray(test_batch), np.asarray(Xrec[0]), False,
-                fname=os.path.join(args.save, 'plots/rot_mnist.png'))
-            ckpt.save_checkpoint(state, ckpt_path)
+            if ep % args.plot_freq == 0 or ep == args.Nepoch - 1:
+                plotting.plot_rot_mnist(
+                    np.asarray(test_batch), np.asarray(Xrec[0]), False,
+                    fname=os.path.join(args.save, 'plots/rot_mnist.png'))
+                ckpt.save_checkpoint(state, ckpt_path)
             mse_meter.update(float(test_mse), itr_test)
             break
         logger.info('Epoch:%4d/%4d| tr_elbo:%8.2f(%8.2f) | '

@@ -1,0 +1,69 @@
+"""CLI integration tests: run the real entry points as subprocesses with
+tiny configs and check their artifacts."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(args, timeout=420):
+    env = dict(os.environ)
+    return subprocess.run([sys.executable] + args, cwd=REPO, env=env,
+                          capture_output=True, text=True, timeout=timeout)
+
+
+@pytest.mark.slow
+def test_main_trains_and_writes_artifacts(tmp_path):
+    save = str(tmp_path / 'mnist')
+    r = _run(['main.py', '--device', 'cpu', '--Nepoch', '2', '--batch',
+              '6', '--Ndata', '12', '--Ntest', '6', '--num_inducing', '8',
+              '--num_features', '16', '--T', '6', '--save', save])
+    assert r.returncode == 0, r.stderr[-2000:]
+    runs = [d for d in os.listdir(tmp_path) if d.startswith('mnist')]
+    assert len(runs) == 1
+    run_dir = tmp_path / runs[0]
+    for f in ('args.json', 'logs', 'odegpvae_mnist.ckpt', 'elbo.npy'):
+        assert (run_dir / f).exists(), f
+    for p in ('data.png', 'rot_mnist.png', 'rollout.png',
+              'optimization_trace.png', 'hyperparams.png'):
+        assert (run_dir / 'plots' / p).exists(), p
+    log = (run_dir / 'logs').read_text()
+    assert 'Optimization completed' in log
+
+    # evaluate.py consumes the checkpoint and prints a JSON result
+    r2 = _run(['evaluate.py', '--device', 'cpu', '--model_path',
+               str(run_dir), '--L', '1'])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    out = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out['metric'] == 'test_recon_mse'
+    assert out['mse_mean'] > 0
+
+
+@pytest.mark.slow
+def test_main_vae_pretrains_and_couples(tmp_path):
+    out_dir = str(tmp_path / 'vae')
+    data_dir = str(tmp_path / 'data')
+    r = _run(['main_vae.py', '--device', 'cpu', '--vae_epochs', '2',
+              '--n_train', '4', '--n_test', '3', '--n_angle', '6',
+              '--batch', '8', '--output_path', out_dir, '--save',
+              data_dir])
+    assert r.returncode == 0, r.stderr[-2000:]
+    runs = [d for d in os.listdir(tmp_path) if d.startswith('vae')]
+    vae_dir = tmp_path / runs[0] / 'MNIST-VAE'
+    assert (vae_dir / 'encoder.ckpt').exists()
+    assert (vae_dir / 'decoder.ckpt').exists()
+
+    save = str(tmp_path / 'coupled')
+    r2 = _run(['main.py', '--device', 'cpu', '--Nepoch', '1', '--batch',
+               '6', '--Ndata', '12', '--Ntest', '6', '--num_inducing',
+               '8', '--num_features', '16', '--T', '6', '--pretrained',
+               'True', '--vae_path', str(vae_dir), '--save', save])
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    runs2 = [d for d in os.listdir(tmp_path) if d.startswith('coupled')]
+    log = (tmp_path / runs2[0] / 'logs').read_text()
+    assert 'Loaded pretrained VAE' in log

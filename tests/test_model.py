@@ -167,3 +167,37 @@ def test_frozen_vae_training():
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     assert not np.allclose(np.asarray(state.gp.Um),
                            np.asarray(state2.gp.Um))
+
+
+def test_train_epoch_matches_per_step_path(setup):
+    """The whole-epoch scan must produce the same state/metrics as the
+    per-step loop given identical keys and batch order."""
+    import jax.numpy as jnp
+    from vae_gp_ode_tpu.training.trainer import make_train_epoch
+    model, variables, gp = setup
+    state, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    epoch = make_train_epoch(model, tx, num_observations=float(N),
+                             eps_guard=True)
+
+    batches = jnp.stack([make_batch(jax.random.PRNGKey(50 + i))
+                         for i in range(3)])
+    key = jax.random.PRNGKey(60)
+
+    s_e, metrics = epoch(state, batches, key, 1)
+
+    s_l = state
+    k = key
+    losses = []
+    for i in range(3):
+        k, k_step = jax.random.split(k)
+        s_l, m = step(s_l, batches[i], k_step, 1)
+        losses.append(float(m['loss']))
+
+    np.testing.assert_allclose(np.asarray(metrics['loss']),
+                               np.asarray(losses), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_e.gp.Um),
+                               np.asarray(s_l.gp.Um), rtol=1e-4,
+                               atol=1e-6)
+    assert int(s_e.step) == 3

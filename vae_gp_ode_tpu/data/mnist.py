@@ -69,6 +69,17 @@ class Loader:
         it = iter(self)
         return next(it)
 
+    def epoch_batches(self):
+        """One epoch's batches stacked as (I, B, ...) on device (for the
+        whole-epoch scanned train path); drops the ragged tail batch."""
+        import jax.numpy as _jnp
+        n = self.X.shape[0]
+        I = n // self.batch_size
+        idx = (self._rng.permutation(n) if self.shuffle
+               else np.arange(n))[:I * self.batch_size]
+        return self.X[_jnp.asarray(idx)].reshape(
+            (I, self.batch_size) + self.X.shape[1:])
+
 
 def rot_start(X, T, seed=None):
     """Re-phase each sequence to a random initial rotation angle
