@@ -1,0 +1,60 @@
+"""Checkpoint round-trips: pickle and Orbax backends, VAE weight files,
+DF-kernel dimension validation."""
+
+import numpy as np
+import jax
+import pytest
+
+from vae_gp_ode_tpu.models.odegpvae import init_model
+from vae_gp_ode_tpu.training.trainer import create_train_state
+from vae_gp_ode_tpu.training import checkpoint as ckpt
+from vae_gp_ode_tpu.gp.svgp import init_svgp_params
+
+
+@pytest.fixture(scope='module')
+def state():
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=8, num_inducing=6, batch=2, T=4)
+    st, _ = create_train_state(model, variables, gp)
+    return st
+
+
+def _assert_state_equal(a, b):
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_pickle_roundtrip(state, tmp_path):
+    p = str(tmp_path / 'model.ckpt')
+    ckpt.save_checkpoint(state, p)
+    restored = ckpt.restore_checkpoint(p, like=state)
+    _assert_state_equal(state, restored)
+    # restored state is a working TrainState pytree (same treedef)
+    assert int(restored.step) == int(state.step)
+    assert restored.gp.kernel_name == state.gp.kernel_name
+
+
+def test_orbax_roundtrip(state, tmp_path):
+    pytest.importorskip('orbax.checkpoint')
+    d = str(tmp_path / 'orbax')
+    ckpt.save_checkpoint_orbax(state, d)
+    restored = ckpt.restore_checkpoint_orbax(d, like=state)
+    _assert_state_equal(state, restored)
+
+
+def test_vae_weights_roundtrip(state, tmp_path):
+    enc_p = str(tmp_path / 'encoder.ckpt')
+    dec_p = str(tmp_path / 'decoder.ckpt')
+    ckpt.save_vae_weights(state.vae_params, state.batch_stats, enc_p,
+                          dec_p)
+    enc, dec = ckpt.load_vae_weights(enc_p, dec_p)
+    _assert_state_equal(state.vae_params['encoder'], enc['params'])
+    _assert_state_equal(state.vae_params['decoder'], dec['params'])
+
+
+def test_df_requires_square_dims():
+    with pytest.raises(ValueError, match='DF kernel requires'):
+        init_svgp_params(jax.random.PRNGKey(0), D_in=6, D_out=3, M=4,
+                         kernel='DF')

@@ -79,6 +79,14 @@ def init_svgp_params(key, D_in, D_out, M, kernel='RBF', q_diag=False,
     if kernel == 'RBF':
         kern = rbfk.init_rbf_params(D_in, D_out, dimwise=dimwise, dtype=dtype)
     elif kernel == 'DF':
+        if D_in != D_out:
+            # the matrix-valued DF kernel is square by construction (the
+            # (M*D, M*D) gram and the ORFF B(w) = |w|I - ww^T/|w| both
+            # require D_in == D_out); the reference crashes on mismatched
+            # dims too (kernels.py:265-303, 319-351 shape analysis), so
+            # 2nd-order ODEs (D_in = 2q -> D_out = q) need the RBF kernel
+            raise ValueError(
+                f'DF kernel requires D_in == D_out, got {D_in} != {D_out}')
         # DF kernel reuses the dimwise param layout (reference kernels.py:203)
         kern = rbfk.init_rbf_params(D_in, D_out, dimwise=True, dtype=dtype)
     else:

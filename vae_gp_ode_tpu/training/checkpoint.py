@@ -38,6 +38,31 @@ def restore_checkpoint(path, like=None):
         jax.tree_util.tree_structure(like), leaves)
 
 
+def save_checkpoint_orbax(state, path, step=None):
+    """Orbax-backed checkpointing (the idiomatic JAX ecosystem path):
+    versioned, async-capable, atomic. `path` is a directory."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    step = int(state.step) if step is None else int(step)
+    ckptr.save(os.path.join(path, f'step_{step}'), _to_host(state),
+               force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint_orbax(path, like, step=None):
+    """Restore the latest (or given) step from an Orbax directory."""
+    import orbax.checkpoint as ocp
+    path = os.path.abspath(path)
+    if step is None:
+        steps = [int(d.split('_')[1]) for d in os.listdir(path)
+                 if d.startswith('step_')]
+        step = max(steps)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(path, f'step_{step}'),
+                         target=_to_host(like))
+
+
 def save_vae_weights(vae_params, batch_stats, encoder_path, decoder_path):
     """Save encoder/decoder separately, mirroring the reference VAE.save
     (reference vae.py:32-35) so pretraining and coupled training stay
