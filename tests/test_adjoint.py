@@ -87,3 +87,27 @@ def test_flow_forward_adjoint_gp():
     np.testing.assert_allclose(ga, gd, rtol=0.05, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g_adj.Um), np.asarray(g_dir.Um),
                                rtol=0.05, atol=1e-3)
+
+
+@pytest.mark.parametrize('method', ['midpoint', 'rk4'])
+def test_adjoint_nonautonomous_grads(method):
+    """Time-DEPENDENT RHS: the reversed-time stage evaluation must keep
+    the solver's order (regression for the stage-time sign bug)."""
+    z0 = jnp.asarray(np.random.RandomState(2).randn(3, 2), jnp.float32)
+    ts = jnp.linspace(0.0, 1.0, 5)
+
+    def f(th, t, z):
+        return th * t * z
+
+    def loss_adj(th):
+        return jnp.sum(odeint_adjoint(f, th, z0, ts, method, 8) ** 2)
+
+    def loss_dir(th):
+        return jnp.sum(odeint(lambda t, z: f(th, t, z), z0, ts,
+                              method=method, dense=8).zs ** 2)
+
+    th = jnp.asarray(0.9)
+    ga = float(jax.grad(loss_adj)(th))
+    gd = float(jax.grad(loss_dir)(th))
+    tol = {'midpoint': 0.01, 'rk4': 0.002}[method]
+    np.testing.assert_allclose(ga, gd, rtol=tol)

@@ -148,3 +148,39 @@ def test_fused_euler_flow_grads_match_reference():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_fused_euler_flow_nonuniform_grid():
+    """Per-interval dts: fused flow must honour non-uniform time grids
+    (regression: it used to assume ts[1]-ts[0] everywhere)."""
+    from vae_gp_ode_tpu.ops.flow_fused import (
+        fused_euler_flow, euler_flow_reference)
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    N, S, M, D, T = 4, 8, 6, 3, 5
+    args = (jax.random.normal(ks[0], (N, D)) * 0.5,
+            jax.random.normal(ks[1], (D, S, D)),
+            jax.random.uniform(ks[2], (1, S, D)) * 6.28,
+            jax.random.normal(ks[3], (S, D)),
+            jax.random.normal(ks[4], (M, D)),
+            jax.random.normal(ks[5], (D, M)) * 0.1,
+            jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=2.0),
+            jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0))
+    dts = jnp.asarray([0.05, 0.1, 0.3, 0.02])
+    out = fused_euler_flow(*args, dts, T, 1, True)
+
+    # manual euler with per-interval steps through the reference eval
+    from vae_gp_ode_tpu.ops.pathwise import pathwise_eval_reference
+    z = args[0]
+    expect = [z]
+    for h in np.asarray(dts):
+        z = z + h * pathwise_eval_reference(z, *args[1:])
+        expect.append(z)
+    np.testing.assert_allclose(np.asarray(out), np.stack(expect),
+                               rtol=2e-4, atol=2e-5)
+
+    # gradients w.r.t. the per-interval dts flow through the bwd kernel
+    g = jax.grad(lambda d: jnp.sum(
+        fused_euler_flow(*args, d, T, 1, True) ** 2))(dts)
+    assert g.shape == (4,)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).min() > 0

@@ -82,18 +82,22 @@ class Loader:
 
 
 def rot_start(X, T, seed=None):
-    """Re-phase each sequence to a random initial rotation angle
-    (reference mnist.py:14-22: take frames from a random start, append the
-    time-reversed prefix)."""
+    """Re-phase each sequence to a random initial rotation angle.
+
+    Exact reference active-code semantics (mnist.py:14-22): frames
+    [s:] followed by frames [1:s+1]. Note the reference's
+    `torch.flip(..., dims=(1,))` flips the size-1 CHANNEL axis of
+    (T, 1, 28, 28) slices - a no-op - so the output is a near-roll with a
+    one-frame phase jump at the wrap (frame 0 is skipped, frame s appears
+    twice when s > 0). Quirk preserved for parity.
+    """
     rng = np.random.RandomState(seed)
     N = X.shape[0]
     start = rng.randint(0, T, N)
     out = np.empty_like(X)
     for n in range(N):
         s = start[n]
-        head = X[n, s:]
-        tail = X[n, 1:s + 1][::-1]
-        out[n] = np.concatenate([head, tail], axis=0)
+        out[n] = np.concatenate([X[n, s:], X[n, 1:s + 1]], axis=0)
     return out
 
 

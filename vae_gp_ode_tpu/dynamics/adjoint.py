@@ -91,9 +91,15 @@ def _adj_bwd(f, method, dense, res, zs_bar):
         h = (t1 - t0) / dense
 
         def substep(i, aug):
-            # position in reversed time: t = t1 - i*h
-            t = t1 - i * h
-            return _step_tree(method, aug_rhs, t, aug, h)
+            # integrate in the reversed-time variable s (t = t1 - s) so the
+            # solver's intermediate stages at s + c*h correctly evaluate the
+            # RHS at t1 - s - c*h (moving toward t0)
+            s = i * h
+
+            def rhs_s(s_, aug_):
+                return aug_rhs(t1 - s_, aug_)
+
+            return _step_tree(method, rhs_s, s, aug, h)
 
         z, a, gth = jax.lax.fori_loop(0, dense, substep, (z_end, a, gth))
         return (a, gth), None

@@ -121,44 +121,62 @@ def _fixed_adams_family(f, z0, ts, method, dense, remat):
 
     explicit_adams: Adams-Bashforth-2;  fixed_adams/adams:
     Adams-Bashforth-2 predictor + Adams-Moulton-2 (trapezoid) corrector.
-    First substep bootstraps with midpoint.
+    The very first substep bootstraps with a midpoint step, hoisted OUT of
+    the steady-state loop so it costs one extra RHS evaluation total, not
+    one per substep (RHS evals are the measured hot path).
     """
     corrector = method in ('fixed_adams', 'adams')
 
-    def interval(carry, t_pair):
-        z, f_prev, have_prev = carry
-        t0, t1 = t_pair
-        h = (t1 - t0) / dense
+    def substeps(z, f_prev, t0, h, start, stop):
+        """AB2(+AM2) substeps [start, stop) assuming f_prev is valid."""
 
         def substep(i, c):
-            zt, fp, hp = c
+            zt, fp = c
             t = t0 + i * h
             fc = f(t, zt)
-            # AB2 predictor (falls back to midpoint bootstrap on step 0)
-            z_ab2 = zt + h * (1.5 * fc - 0.5 * fp)
-            k2 = f(t + 0.5 * h, zt + 0.5 * h * fc)
-            z_boot = zt + h * k2
-            z_pred = jnp.where(hp, z_ab2, z_boot)
+            z_pred = zt + h * (1.5 * fc - 0.5 * fp)
             if corrector:
                 f_pred = f(t + h, z_pred)
                 z_new = zt + 0.5 * h * (fc + f_pred)
             else:
                 z_new = z_pred
-            return z_new, fc, jnp.asarray(True)
+            return z_new, fc
 
-        z1, f_last, hp = jax.lax.fori_loop(
-            0, dense, substep, (z, f_prev, have_prev))
-        return (z1, f_last, hp), z1
+        return jax.lax.fori_loop(start, stop, substep, (z, f_prev))
+
+    def first_interval(z, t0, t1):
+        """Bootstrap substep 0 with midpoint, then steady AB2/ABM2."""
+        h = (t1 - t0) / dense
+        f0 = f(t0, z)
+        k2 = f(t0 + 0.5 * h, z + 0.5 * h * f0)
+        z_pred = z + h * k2
+        if corrector:
+            f_pred = f(t0 + h, z_pred)
+            z1 = z + 0.5 * h * (f0 + f_pred)
+        else:
+            z1 = z_pred
+        return substeps(z1, f0, t0, h, 1, dense)
+
+    def interval(carry, t_pair):
+        z, f_prev = carry
+        t0, t1 = t_pair
+        h = (t1 - t0) / dense
+        z1, f_last = substeps(z, f_prev, t0, h, 0, dense)
+        return (z1, f_last), z1
 
     if remat:
         interval = jax.checkpoint(interval)
 
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-    init = (z0, jnp.zeros_like(z0), jnp.asarray(False))
-    (_, _, _), zs = jax.lax.scan(interval, init, t_pairs)
-    zs = jnp.concatenate([z0[None], zs], axis=0)
-    per = 3 if corrector else 2
-    nfe = jnp.asarray((ts.shape[0] - 1) * dense * per)
+    z1, f_last = first_interval(z0, ts[0], ts[1])
+    if ts.shape[0] > 2:
+        (_, _), zs_rest = jax.lax.scan(interval, (z1, f_last), t_pairs[1:])
+        zs = jnp.concatenate([z0[None], z1[None], zs_rest], axis=0)
+    else:
+        zs = jnp.stack([z0, z1], axis=0)
+    per = 2 if corrector else 1
+    # bootstrap substep costs one extra eval (the midpoint stage)
+    nfe = jnp.asarray((ts.shape[0] - 1) * dense * per + 1)
     return ODESolution(zs=zs, nfe=nfe)
 
 

@@ -45,6 +45,15 @@ class ODEGPVAE(nn.Module):
     use_adjoint: bool = False  # continuous adjoint vs remat backprop
 
     def setup(self):
+        if self.use_adjoint and self.solver not in ('euler', 'midpoint',
+                                                    'rk4'):
+            import warnings
+            warnings.warn(
+                f'use_adjoint: the continuous adjoint supports the '
+                f"fixed-step solvers ('euler', 'midpoint', 'rk4'); "
+                f'{self.solver!r} falls back to rematerialised '
+                f'backprop-through-solver (exact gradients, O(T) states)',
+                stacklevel=2)
         self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1)
         self.decoder = Decoder(self.latent_dim, self.n_filt)
         if self.order == 2:

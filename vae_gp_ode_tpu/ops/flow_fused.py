@@ -20,8 +20,10 @@ trajectory, so each euler step is exactly five dense matmuls -
 
 - all shapes MXU-aligned up to padding, no per-k serialisation.
 Supports 1st-order (dz = f(z)) and 2nd-order (d(s,v) = (v, f(s,v)))
-latent ODEs with the dimwise-RBF kernel. Reverse mode = custom VJP through
-the lax.scan reference implementation (identical math, f32 precision).
+latent ODEs with the dimwise-RBF kernel, and per-interval step sizes
+(dts (T-1,)) for non-uniform grids. Reverse mode = a hand-written Pallas
+discrete-adjoint backward kernel (see _make_bwd_kernel); the jnp
+packed_flow_reference is the parity oracle.
 """
 
 import functools
@@ -51,11 +53,13 @@ def euler_flow_reference(z0, omega, phase, weights, Z, nu, ls, var, dt,
             return jnp.concatenate([z[:, q:], f], axis=1)
         return f
 
-    def step(z, _):
-        z1 = z + dt * rhs(z)
+    dts = jnp.broadcast_to(jnp.asarray(dt, z0.dtype), (T - 1,))
+
+    def step(z, h):
+        z1 = z + h * rhs(z)
         return z1, z1
 
-    _, zs = jax.lax.scan(step, z0, None, length=T - 1)
+    _, zs = jax.lax.scan(step, z0, dts)
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
@@ -94,8 +98,7 @@ def _pack_operands(omega, phase, weights, Z, nu, ls, var):
 
 def _make_kernel(T, order, K):
     def kernel(z0_ref, omf_ref, phf_ref, ww_ref, zb_ref, zn_ref,
-               il2_ref, wnu_ref, dt_ref, out_ref):
-        dt = dt_ref[0, 0]
+               il2_ref, wnu_ref, dts_ref, out_ref):
         omf = omf_ref[:]
         phf = phf_ref[:]
         Ww = ww_ref[:]
@@ -129,7 +132,7 @@ def _make_kernel(T, order, K):
         out_ref[0] = z
 
         def step(t, z):
-            z1 = z + dt * rhs(z)
+            z1 = z + dts_ref[t] * rhs(z)
             out_ref[pl.ds(t + 1, 1)] = z1[None]
             return z1
 
@@ -138,11 +141,10 @@ def _make_kernel(T, order, K):
     return kernel
 
 
-def _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order,
+def _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T, order,
                         interpret=False):
     N, D = z0.shape
     K = Ww.shape[1]
-    dt_arr = jnp.asarray(dt, z0.dtype).reshape(1, 1)
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
@@ -151,20 +153,21 @@ def _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order,
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt_arr)
+    )(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts)
 
 
 def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
                  interpret=False):
     packed = _pack_operands(omega, phase, weights, Z, nu, ls, var)
-    return packed_euler_flow(z0, *packed, dt, T, order, interpret)
+    dts = jnp.broadcast_to(jnp.asarray(dt, z0.dtype), (T - 1,))
+    return packed_euler_flow(z0, *packed, dts, T, order, interpret)
 
 
 # ---------------------------------------------------------------------------
 # packed-level flow with a hand-written Pallas backward (discrete adjoint)
 # ---------------------------------------------------------------------------
 
-def packed_flow_reference(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+def packed_flow_reference(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
                           order):
     """jnp mirror of the packed forward kernel (oracle for the backward)."""
     K = Ww.shape[1]
@@ -183,11 +186,13 @@ def packed_flow_reference(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
             return jnp.concatenate([z[:, K:], f], axis=1)
         return f
 
-    def step(z, _):
-        z1 = z + dt * rhs(z)
+    dts_v = jnp.broadcast_to(jnp.asarray(dts, z0.dtype), (T - 1,))
+
+    def step(z, h):
+        z1 = z + h * rhs(z)
         return z1, z1
 
-    _, zs = jax.lax.scan(step, z0, None, length=T - 1)
+    _, zs = jax.lax.scan(step, z0, dts_v)
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
@@ -203,10 +208,9 @@ def _make_bwd_kernel(T, order, K):
     """
 
     def kernel(zs_ref, zsbar_ref, omf_ref, phf_ref, ww_ref, zb_ref,
-               zn_ref, il2_ref, wnu_ref, dt_ref,
+               zn_ref, il2_ref, wnu_ref, dts_ref,
                z0bar_ref, omfbar_ref, phfbar_ref, wwbar_ref, zbbar_ref,
-               znbar_ref, il2bar_ref, wnubar_ref, dtbar_ref):
-        dt = dt_ref[0, 0]
+               znbar_ref, il2bar_ref, wnubar_ref, dtsbar_ref):
         omf = omf_ref[:]
         phf = phf_ref[:]
         Ww = ww_ref[:]
@@ -227,9 +231,9 @@ def _make_bwd_kernel(T, order, K):
             return jnp.dot(a, b, preferred_element_type=jnp.float32,
                            precision=_HI)
 
-        def body(i, carry):
-            g, dtacc = carry
+        def body(i, g):
             t = T - 2 - i
+            dt = dts_ref[t]
             z = zs_ref[pl.ds(t, 1)][0]          # (N, D)
             # --- recompute forward intermediates
             xo = mm(z, omf)                     # (N, KS)
@@ -243,12 +247,13 @@ def _make_bwd_kernel(T, order, K):
             f = f1 + f2
 
             if order == 2:
-                # rhs = concat(z[:, K:], f); dtbar uses the full rhs
-                dtacc = dtacc + (jnp.sum(g[:, :K] * z[:, K:])
-                                 + jnp.sum(g[:, K:] * f))
+                # rhs = concat(z[:, K:], f); d/d(dt_t) uses the full rhs
+                dtsbar_ref[pl.ds(t, 1)] = (
+                    jnp.sum(g[:, :K] * z[:, K:])
+                    + jnp.sum(g[:, K:] * f)).reshape(1, 1)
                 fbar = dt * g[:, K:]            # (N, K)
             else:
-                dtacc = dtacc + jnp.sum(g * f)
+                dtsbar_ref[pl.ds(t, 1)] = jnp.sum(g * f).reshape(1, 1)
                 fbar = dt * g                   # (N, K)
 
             # --- vjp through feval (input cotangent into z, param accums)
@@ -271,24 +276,21 @@ def _make_bwd_kernel(T, order, K):
             g_new = zsbar_ref[pl.ds(t, 1)][0] + g + zvec
             if order == 2:
                 g_new = g_new.at[:, K:].add(dt * g[:, :K])
-            return g_new, dtacc
+            return g_new
 
-        g0, dtacc = jax.lax.fori_loop(
-            0, T - 1, body,
-            (zsbar_ref[pl.ds(T - 1, 1)][0], jnp.float32(0.0)))
+        g0 = jax.lax.fori_loop(
+            0, T - 1, body, zsbar_ref[pl.ds(T - 1, 1)][0])
         z0bar_ref[:] = g0
-        dtbar_ref[:] = dtacc.reshape(1, 1)
 
     return kernel
 
 
-def _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+def _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
                      order, interpret=False):
     N, D = zs.shape[1:]
     K = Ww.shape[1]
     KS = Ww.shape[0]
     KM = Wnu.shape[0]
-    dt_arr = jnp.asarray(dt, zs.dtype).reshape(1, 1)
     f32 = zs.dtype
     out_shapes = (
         jax.ShapeDtypeStruct((N, D), f32),       # z0bar
@@ -299,7 +301,7 @@ def _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
         jax.ShapeDtypeStruct((1, KM), f32),      # znbar
         jax.ShapeDtypeStruct((D, KM), f32),      # il2bar
         jax.ShapeDtypeStruct((KM, K), f32),      # wnubar
-        jax.ShapeDtypeStruct((1, 1), f32),       # dtbar
+        jax.ShapeDtypeStruct((T - 1, 1), f32),   # dtsbar
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
@@ -310,32 +312,33 @@ def _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in out_shapes),
         interpret=interpret,
-    )(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dt_arr)
+    )(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dts)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def packed_euler_flow(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order=1,
+def packed_euler_flow(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T, order=1,
                       interpret=False):
-    """Euler GP-ODE flow over packed operands: Pallas forward AND Pallas
-    discrete-adjoint backward (both single kernels)."""
-    return _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+    """Euler GP-ODE flow over packed operands with per-interval step
+    sizes dts (T-1,): Pallas forward AND Pallas discrete-adjoint backward
+    (both single kernels)."""
+    return _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
                                order, interpret=interpret)
 
 
-def _pk_fwd(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T, order, interpret):
-    zs = _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dt, T,
+def _pk_fwd(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T, order, interpret):
+    zs = _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
                              order, interpret=interpret)
-    return zs, (zs, omf, phf, Ww, Zb, zn, il2, Wnu, dt)
+    return zs, (zs, omf, phf, Ww, Zb, zn, il2, Wnu, dts)
 
 
 def _pk_bwd(T, order, interpret, res, zsbar):
-    zs, omf, phf, Ww, Zb, zn, il2, Wnu, dt = res
+    zs, omf, phf, Ww, Zb, zn, il2, Wnu, dts = res
     outs = _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu,
-                            dt, T, order, interpret=interpret)
+                            dts, T, order, interpret=interpret)
     (z0bar, omfbar, phfbar, wwbar, zbbar, znbar, il2bar, wnubar,
-     dtbar) = outs
+     dtsbar) = outs
     return (z0bar, omfbar, phfbar, wwbar, zbbar, znbar, il2bar, wnubar,
-            dtbar[0, 0])
+            dtsbar[:, 0])
 
 
 packed_euler_flow.defvjp(_pk_fwd, _pk_bwd)

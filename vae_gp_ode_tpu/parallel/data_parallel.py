@@ -17,8 +17,7 @@ from functools import partial
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from vae_gp_ode_tpu.training.trainer import TrainState  # noqa: F401 (doc)
-from vae_gp_ode_tpu.training.objectives import compute_loss
+from vae_gp_ode_tpu.training.trainer import _make_step_fn
 
 
 def replicate(tree, mesh):
@@ -35,41 +34,18 @@ def shard_batch(batch, mesh, axis='data'):
 
 def make_parallel_train_step(model, tx, num_observations, mesh,
                              eps_guard=False, axis='data'):
-    """Data-parallel version of training.trainer.make_train_step:
-    identical math, jitted with explicit shardings over `mesh`.
+    """Data-parallel train step: exactly the single-device step body
+    (training.trainer._make_step_fn - one source of truth for the math),
+    jitted with explicit shardings over `mesh`.
 
     Returns train_step(state, batch, key, L). `state` must be replicated
     (see `replicate`), `batch` sharded on its leading axis
-    (see `shard_batch`).
+    (see `shard_batch`). XLA inserts the gradient all-reduce and the
+    global-batch BatchNorm reductions from the annotations alone.
     """
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(axis))
-
-    @partial(jax.jit, static_argnums=(3,),
-             in_shardings=(repl, data_sh, repl),
-             out_shardings=(repl, repl))
-    def train_step(state, batch, key, L: int):
-        def loss_fn(params):
-            vae_params, gp = params
-            (Xrec, s_stats, v_stats, nfe), updates = model.apply(
-                {'params': vae_params, 'batch_stats': state.batch_stats},
-                batch, gp, key, L=L, train=True, mutable=['batch_stats'])
-            loss, nll, kl_reg, kl_u = compute_loss(
-                batch, Xrec, s_stats, v_stats, gp, num_observations,
-                eps_guard=eps_guard)
-            return loss, (nll, kl_reg, kl_u, nfe, updates['batch_stats'])
-
-        params = (state.vae_params, state.gp)
-        (loss, (nll, kl_reg, kl_u, nfe, new_bs)), grads = \
-            jax.value_and_grad(loss_fn, has_aux=True)(params)
-        import optax
-        updates, new_opt = tx.update(grads, state.opt_state, params)
-        new_vae, new_gp = optax.apply_updates(params, updates)
-        new_state = state.replace(
-            step=state.step + 1, vae_params=new_vae, gp=new_gp,
-            batch_stats=new_bs, opt_state=new_opt)
-        metrics = {'loss': loss, 'nll': nll, 'kl_reg': kl_reg,
-                   'kl_u': kl_u, 'nfe': nfe}
-        return new_state, metrics
-
-    return train_step
+    step = _make_step_fn(model, tx, num_observations, eps_guard)
+    return partial(jax.jit, static_argnums=(3,),
+                   in_shardings=(repl, data_sh, repl),
+                   out_shardings=(repl, repl))(step)
