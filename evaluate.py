@@ -20,8 +20,12 @@ import os
 import numpy as np
 
 parser = argparse.ArgumentParser('Evaluate a trained VAE-GP-ODE checkpoint')
-parser.add_argument('--model_path', type=str, required=True,
+parser.add_argument('--model_path', type=str, default=None,
                     help='run dir containing odegpvae_mnist.ckpt + args.json')
+parser.add_argument('--model_paths', type=str, nargs='*', default=None,
+                    help='several run dirs: prints a comparison table '
+                         '(the reference notebooks compare 6+ trained '
+                         'checkpoints this way)')
 parser.add_argument('--L', type=int, default=5,
                     help='MC samples (notebook uses 5)')
 parser.add_argument('--Troll', type=int, default=2,
@@ -49,13 +53,8 @@ def compute_mse_std(model, state, loader, L, key):
     return float(allsq.mean()), float(allsq.std())
 
 
-def main():
-    args = parser.parse_args()
-
+def evaluate_one(args, model_path):
     import jax
-    if args.device == 'cpu':
-        jax.config.update('jax_platforms', 'cpu')
-
     from vae_gp_ode_tpu.data.mnist import load_data
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.training.trainer import (
@@ -63,7 +62,7 @@ def main():
     from vae_gp_ode_tpu.training import checkpoint as ckpt
     from vae_gp_ode_tpu.utils import plotting
 
-    with open(os.path.join(args.model_path, 'args.json')) as f:
+    with open(os.path.join(model_path, 'args.json')) as f:
         train_args = json.load(f)
 
     class A:
@@ -85,7 +84,7 @@ def main():
         D_in=ta.D_in, D_out=ta.D_out, batch=2, T=ta.T)
     state, _ = create_train_state(model, variables, gp)
     state = ckpt.restore_checkpoint(
-        os.path.join(args.model_path, 'odegpvae_mnist.ckpt'), like=state)
+        os.path.join(model_path, 'odegpvae_mnist.ckpt'), like=state)
 
     key = jax.random.PRNGKey(ta.seed + 1)
     mse_mean, mse_std = compute_mse_std(model, state, testset, args.L, key)
@@ -94,7 +93,7 @@ def main():
     roll = make_eval_step(model, T_custom=args.Troll * ta.T)
     test_batch = testset.first()[:3]
     Xroll, _ = roll(state, test_batch, key, 1)
-    out_dir = os.path.join(args.model_path, 'eval')
+    out_dir = os.path.join(model_path, 'eval')
     os.makedirs(out_dir, exist_ok=True)
     plotting.plot_data(np.asarray(test_batch),
                        fname=os.path.join(out_dir, 'rollout_original.png'),
@@ -102,15 +101,38 @@ def main():
     plotting.plot_rollout(np.asarray(Xroll),
                           fname=os.path.join(out_dir, 'rollout.png'))
 
-    result = {
+    return {
         'metric': 'test_recon_mse',
         'mse_mean': round(mse_mean, 6),
         'mse_std': round(mse_std, 6),
         'L': args.L,
         'rollout_T': args.Troll * ta.T,
-        'model_path': args.model_path,
+        'kernel': ta.kernel,
+        'ode': ta.ode,
+        'model_path': model_path,
     }
-    print(json.dumps(result))
+
+
+def main():
+    args = parser.parse_args()
+    import jax
+    if args.device == 'cpu':
+        jax.config.update('jax_platforms', 'cpu')
+
+    if args.model_paths:
+        # multi-checkpoint comparison (the notebooks' table protocol)
+        results = [evaluate_one(args, p) for p in args.model_paths]
+        print(f"{'model':48s} {'kernel':6s} {'ode':3s} "
+              f"{'mse_mean':>10s} {'mse_std':>10s}")
+        for r in results:
+            print(f"{os.path.basename(r['model_path'].rstrip('/')):48s} "
+                  f"{r['kernel']:6s} {r['ode']:<3d} "
+                  f"{r['mse_mean']:>10.6f} {r['mse_std']:>10.6f}")
+        print(json.dumps(results))
+    elif args.model_path:
+        print(json.dumps(evaluate_one(args, args.model_path)))
+    else:
+        parser.error('provide --model_path or --model_paths')
 
 
 if __name__ == '__main__':

@@ -330,3 +330,27 @@ def test_gp_sample_parity(setup):
         f_t = torch_pathwise(_t(x), omega, phase, w, Z, nu, ls, var, S)
     np.testing.assert_allclose(np.asarray(f_jax), f_t.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_train_mode_batchnorm_parity(setup):
+    """Encoder forward in TRAIN mode (batch statistics) must also match
+    torch - the mode actually used during optimisation."""
+    model, variables, gp, noise, X = setup
+    p = variables['params']
+    bs = variables['batch_stats']
+    enc_t = TorchEncoder()
+    transplant_encoder(enc_t, p['encoder'], bs['encoder'])
+    enc_t.train()
+
+    with torch.no_grad():
+        mu_t, lv_t = enc_t(_t(X[:, 0]))
+
+    enc_j = model.bind(variables)
+    x0 = jnp.transpose(jnp.asarray(X[:, 0]), (0, 2, 3, 1))
+    (mu_j, lv_j), _ = model.apply(
+        variables, x0, True, method=lambda m, x, tr: m.encoder(x, tr),
+        mutable=['batch_stats'])
+    np.testing.assert_allclose(np.asarray(mu_j), mu_t.numpy(), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(lv_j), lv_t.numpy(), rtol=2e-3,
+                               atol=2e-4)
