@@ -88,12 +88,35 @@ def _pathwise_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
 def _pallas_forward(x, omega, phase, weights, Z, nu, ls, var,
                     interpret=False):
     N = x.shape[0]
+    D = x.shape[1]
     K = var.shape[0]
+    # batch-tile large N: the (TILE, S) and (TILE, M) intermediates must
+    # fit scoped VMEM (a (1280, 1536) f32 intermediate alone is ~8 MB)
+    if N <= 512:
+        tile = N
+    else:
+        tile = 256
+    grid = (pl.cdiv(N, tile),)
+    full = lambda i: (0, 0)           # noqa: E731 (operand replicated)
+    full3 = lambda i: (0, 0, 0)       # noqa: E731
     return pl.pallas_call(
         _pathwise_kernel,
         out_shape=jax.ShapeDtypeStruct((N, K), x.dtype),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(omega.shape, full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(phase.shape, full3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(weights.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(Z.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(nu.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(ls.shape, full, memory_space=pltpu.VMEM),
+            pl.BlockSpec(var.shape, lambda i: (0,),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, omega, phase, weights, Z, nu, ls, var)
 
