@@ -19,7 +19,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               '.bench_baseline.json')
 
 
-def measure_jax_steps_per_sec(steps=30, warmup=3, reps=3):
+def measure_jax_steps_per_sec(steps=40, warmup=3, reps=5):
     import jax
     import jax.numpy as jnp
     from vae_gp_ode_tpu.models.odegpvae import init_model
@@ -51,7 +51,18 @@ def measure_jax_steps_per_sec(steps=30, warmup=3, reps=3):
                                   jax.random.fold_in(key, 100 + i), L)
         jax.block_until_ready(metrics['loss'])
         best = max(best, steps / (time.perf_counter() - t0))
-    return best, float(metrics['nfe'])
+
+    # L=5 variant (second half of the reference training schedule)
+    state, m5 = step(state, X, key, 5)
+    jax.block_until_ready(m5['loss'])
+    best5 = 0.0
+    for r in range(2):
+        t0 = time.perf_counter()
+        for i in range(10):
+            state, m5 = step(state, X, jax.random.fold_in(key, 500 + i), 5)
+        jax.block_until_ready(m5['loss'])
+        best5 = max(best5, 10 / (time.perf_counter() - t0))
+    return best, float(metrics['nfe']), best5
 
 
 def get_torch_baseline():
@@ -74,7 +85,7 @@ def get_torch_baseline():
 
 
 def main():
-    jax_sps, nfe_per_step = measure_jax_steps_per_sec()
+    jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
     torch_sps = get_torch_baseline()
     seqs_per_sec = jax_sps * BATCH
     result = {
@@ -84,6 +95,7 @@ def main():
         'vs_baseline': round(jax_sps / torch_sps, 2),
         'extra': {
             'train_steps_per_sec': round(jax_sps, 3),
+            'train_steps_per_sec_L5': round(jax_sps_l5, 3),
             'ode_fn_evals_per_sec': round(jax_sps * nfe_per_step, 1),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
