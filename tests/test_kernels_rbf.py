@@ -74,6 +74,7 @@ def test_gram_matches_numpy(rng, dimwise):
     assert (w > 0).all()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize('dimwise', [False, True])
 def test_rff_covariance_converges_to_kernel(dimwise):
     """E[f(x) f(x')] approximates K(x, x') / 2 for many features.

@@ -67,6 +67,7 @@ def test_kl_diag_branch():
     np.testing.assert_allclose(float(svgp.svgp_kl(p)), expect, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_sample_inducing_moments(params):
     """Mean/cov of u ~ q(u) match m and L L^T."""
     rng = np.random.RandomState(2)
@@ -134,6 +135,7 @@ def test_df_fn_sample_shapes():
     assert np.isfinite(np.asarray(f)).all()
 
 
+@pytest.mark.slow
 def test_conditional_mean_matches_mc(params):
     """Exact conditional mean ~= MC average of pathwise samples."""
     x = jax.random.normal(jax.random.PRNGKey(14), (5, params.D_in))
