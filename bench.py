@@ -31,7 +31,7 @@ def measure_jax_steps_per_sec(steps=40, warmup=3, reps=5):
         num_features=S, num_inducing=M, batch=BATCH, T=T, solver='euler')
     state, tx = create_train_state(model, variables, gp, lr=1e-3)
     step = make_train_step(model, tx, num_observations=360.0,
-                           eps_guard=True)
+                           eps_guard=False)  # the reference live objective
 
     X = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 1, 28, 28))
     X = (X - 0.1307) / 0.3081
@@ -66,9 +66,12 @@ def measure_jax_steps_per_sec(steps=40, warmup=3, reps=5):
 
 
 def get_torch_baseline():
+    """Returns (steps_per_sec, source). source is 'cached', 'measured' or
+    'fallback' - a fallback is reported loudly (stderr + JSON) so a broken
+    baseline cannot silently inflate/deflate the speedup."""
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)['torch_cpu_steps_per_sec']
+            return json.load(f)['torch_cpu_steps_per_sec'], 'cached'
     try:
         from bench_baseline_torch import measure_torch_cpu_steps_per_sec
         sps = measure_torch_cpu_steps_per_sec(batch=BATCH, T=T, q=Q, M=M,
@@ -77,16 +80,20 @@ def get_torch_baseline():
             json.dump({'torch_cpu_steps_per_sec': sps,
                        'config': {'batch': BATCH, 'T': T, 'q': Q, 'M': M,
                                   'S': S, 'L': L, 'solver': 'euler'}}, f)
-        return sps
-    except Exception:
+        return sps, 'measured'
+    except Exception as e:
         # torch unavailable or measurement failed: fall back to the value
         # recorded on this host (bench_baseline_torch.py, 2026-08-16)
-        return 3.971
+        import sys
+        print(f'WARNING: torch baseline measurement failed ({e!r}); '
+              f'using stale recorded value 3.971 steps/s - vs_baseline is '
+              f'NOT freshly measured', file=sys.stderr)
+        return 3.971, 'fallback'
 
 
 def main():
     jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
-    torch_sps = get_torch_baseline()
+    torch_sps, baseline_source = get_torch_baseline()
     seqs_per_sec = jax_sps * BATCH
     result = {
         'metric': 'train_seqs_per_sec',
@@ -98,6 +105,7 @@ def main():
             'train_steps_per_sec_L5': round(jax_sps_l5, 3),
             'ode_fn_evals_per_sec': round(jax_sps * nfe_per_step, 1),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
+            'baseline_source': baseline_source,
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
                       f'L={L} euler',
         },

@@ -36,9 +36,15 @@ parser.add_argument('--device', type=str, default='tpu')
 
 
 def compute_mse_std(model, state, loader, L, key):
-    """Full-test-set MC reconstruction MSE, reference notebook cell 13:
-    per-element squared error, MC-averaged reconstruction, returns
-    (mean, std) over all elements."""
+    """Full-test-set MC reconstruction MSE, exactly the reference
+    notebook's protocol (plots_dynamics.ipynb cell 13):
+
+        se = (Xrec - test_batch)**2      # Xrec (L,N,T,c,d,d) broadcast
+        mse, std = torch.mean(se_all), torch.std(se_all)
+
+    i.e. PER-MC-SAMPLE squared error over the full (batches, L, N, T, c,
+    h, w) tensor - NOT the squared error of the MC-mean reconstruction -
+    with the ddof=1 std of torch.std."""
     import jax
     from vae_gp_ode_tpu.training.trainer import make_eval_step
 
@@ -46,11 +52,11 @@ def compute_mse_std(model, state, loader, L, key):
     sqerrs = []
     for i, batch in enumerate(loader):
         key, k = jax.random.split(key)
-        Xrec, _ = ev(state, batch, k, L)
-        rec = np.asarray(Xrec).mean(0)           # MC average (N,T,1,d,d)
-        sqerrs.append(((rec - np.asarray(batch)) ** 2).ravel())
+        Xrec, _ = ev(state, batch, k, L)          # (L,N,T,1,d,d)
+        se = (np.asarray(Xrec) - np.asarray(batch)[None]) ** 2
+        sqerrs.append(se.ravel())
     allsq = np.concatenate(sqerrs)
-    return float(allsq.mean()), float(allsq.std())
+    return float(allsq.mean()), float(allsq.std(ddof=1))
 
 
 def evaluate_one(args, model_path):

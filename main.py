@@ -86,10 +86,13 @@ parser.add_argument('--device', type=str, default='tpu',
                     help="placeholder for device (JAX manages placement)")
 parser.add_argument('--continue_training', type=eval, default=False)
 parser.add_argument('--model_path', type=str, default='None')
-parser.add_argument('--eps_guard', type=eval, default=True,
-                    help="use the EPSILON-guarded Bernoulli log-prob; the "
-                         "reference's live branch is unguarded "
-                         "(vae.py:147; its except branch never fires)")
+parser.add_argument('--eps_guard', type=eval, default=False,
+                    help="use the EPSILON-guarded Bernoulli log-prob "
+                         "log(1e-3+z) (the reference's dead except-branch, "
+                         "vae.py:149). Default False = the reference's LIVE "
+                         "objective log(z)x + log(1-z)(1-x) (vae.py:147; "
+                         "its try never raises). Set True if training NaNs "
+                         "out on saturated sigmoid outputs")
 parser.add_argument('--plot_freq', type=int, default=1,
                     help="epochs between eval plots/checkpoints (the "
                          "reference plots+checkpoints every epoch; host-"
@@ -99,8 +102,11 @@ parser.add_argument('--data_parallel', type=eval, default=False,
                          "axis); single-device when only one chip")
 parser.add_argument('--fast_epoch', type=eval, default=True,
                     help="scan whole epochs on device (one dispatch per "
-                         "epoch; metrics fetched as arrays). False "
-                         "reproduces the reference's per-iteration loop")
+                         "epoch; metrics fetched as arrays). Drops the "
+                         "ragged tail batch when Ndata %% batch != 0 "
+                         "(static scan shapes). False reproduces the "
+                         "reference's per-iteration loop (sees every "
+                         "sequence)")
 
 # plotting arguments (reference main.py:113-114)
 parser.add_argument('--Troll', type=int, default=2)
@@ -287,9 +293,11 @@ def main():
     meters = (elbo_meter, nll_meter, reg_kl_meter, inducing_kl_meter,
               hyperparam_meter)
 
+    use_fast = args.fast_epoch
     if args.data_parallel and len(jax.devices()) > 1:
         from vae_gp_ode_tpu.parallel import (
-            make_mesh, make_parallel_train_step, replicate, shard_batch)
+            make_mesh, make_parallel_train_step, make_parallel_train_epoch,
+            replicate, shard_batch, shard_epoch)
         mesh = make_mesh()
         train_step_p = make_parallel_train_step(
             model, tx, num_observations=args.Ndata, mesh=mesh,
@@ -300,16 +308,26 @@ def main():
 
         def train_step(state, batch, key, L):
             return train_step_p(state, shard_batch(batch, mesh), key, L)
+
+        if use_fast:
+            # whole-epoch scan composed with mesh shardings: multi-chip
+            # training keeps the one-dispatch-per-epoch property
+            train_epoch_p = make_parallel_train_epoch(
+                model, tx, num_observations=args.Ndata, mesh=mesh,
+                eps_guard=args.eps_guard)
+
+            def train_epoch(state, batches, key, L):
+                return train_epoch_p(state, shard_epoch(batches, mesh),
+                                     key, L)
     else:
         train_step = make_train_step(model, tx,
                                      num_observations=args.Ndata,
                                      eps_guard=args.eps_guard)
-    use_fast = args.fast_epoch and not args.data_parallel
-    if use_fast:
-        from vae_gp_ode_tpu.training.trainer import make_train_epoch
-        train_epoch = make_train_epoch(model, tx,
-                                       num_observations=args.Ndata,
-                                       eps_guard=args.eps_guard)
+        if use_fast:
+            from vae_gp_ode_tpu.training.trainer import make_train_epoch
+            train_epoch = make_train_epoch(model, tx,
+                                           num_observations=args.Ndata,
+                                           eps_guard=args.eps_guard)
     eval_step = make_eval_step(model)
     roll_step = make_eval_step(model, T_custom=args.Troll * args.T)
 

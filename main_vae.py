@@ -38,6 +38,11 @@ parser.add_argument('--vae_epochs', type=int, default=300)
 parser.add_argument('--output_path', type=str, default='results/vae')
 parser.add_argument('--save', type=str, default='data/moving_mnist')
 parser.add_argument('--log_freq', type=int, default=20)
+parser.add_argument('--eps_guard', type=eval, default=False,
+                    help="EPSILON-guarded Bernoulli log-prob (the "
+                         "reference's dead except-branch); default False = "
+                         "the reference's live unguarded objective "
+                         "(vae.py:147)")
 
 
 def main():
@@ -123,7 +128,7 @@ def main():
                 {'params': dp, 'batch_stats': bstats[1]}, z, train=True,
                 mutable=['batch_stats'])
             kl_reg = jnp.mean(gaussian_kl_standard(mu, logv))
-            lp = bernoulli_log_prob(x, y, eps_guard=True)
+            lp = bernoulli_log_prob(x, y, eps_guard=args.eps_guard)
             lhood = jnp.mean(jnp.sum(lp, axis=(1, 2, 3)))
             loss = kl_reg - lhood
             return loss, (lhood, kl_reg, enc_ups['batch_stats'],

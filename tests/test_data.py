@@ -78,3 +78,61 @@ def test_rotating_frames_for_pretraining(tmp_path):
     assert x.shape == (5, 1, 28, 28)
     assert t.shape == (5,)
     assert int(t.max()) <= 7
+
+
+def test_mat_file_ingestion(tmp_path):
+    """Exercise the real rot-mnist.mat branch (data/mnist.py
+    _load_raw_sequences; reference mnist.py:25-52 semantics): scipy
+    loadmat, digit filter Y==3, ordered split, normalisation."""
+    import scipy.io as sio
+
+    rng = np.random.RandomState(0)
+    Ntotal, T = 14, 16
+    # 20 sequences, digits alternating 3 and 7: only the 10 threes survive
+    X = rng.rand(20, T, 784).astype(np.float64)
+    Y = np.array([3, 7] * 10).reshape(-1, 1)
+    matdir = tmp_path / 'rot_mnist'
+    matdir.mkdir()
+    sio.savemat(str(matdir / 'rot-mnist.mat'), {'X': X, 'Y': Y})
+
+    train, valid, test = dm.load_mnist_data(
+        data_root=str(tmp_path), batch_size=2, T=T, Ndata=6, Nvalid=2,
+        Ntest=2, digit=3, seed=0)
+    assert train.source == 'mat'
+    assert train.X.shape == (6, T, 1, 28, 28)
+    assert valid.X.shape == (2, T, 1, 28, 28)
+    assert test.X.shape == (2, T, 1, 28, 28)
+
+    # the split is ordered over the digit-3 subsequence, and each item is
+    # reshaped + normalised exactly as the reference Dataset.__getitem__
+    # (utils.py:12-15): (x - 0.1307) / 0.3081
+    threes = X[Y[:, 0] == 3].astype(np.float32)
+    expect_train = (threes[:6].reshape(6, T, 1, 28, 28)
+                    - dm.MNIST_MEAN) / dm.MNIST_STD
+    np.testing.assert_allclose(np.asarray(train.X), expect_train,
+                               rtol=1e-6, atol=1e-6)
+    expect_test = (threes[8:10].reshape(2, T, 1, 28, 28)
+                   - dm.MNIST_MEAN) / dm.MNIST_STD
+    np.testing.assert_allclose(np.asarray(test.X), expect_test,
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_mat_file_digit_filter_other_digit(tmp_path):
+    """--value selects the digit (reference main.py:28 --value 3)."""
+    import scipy.io as sio
+
+    rng = np.random.RandomState(1)
+    X = rng.rand(8, 16, 784)
+    Y = np.array([1, 1, 1, 1, 3, 3, 3, 3]).reshape(-1, 1)
+    matdir = tmp_path / 'rot_mnist'
+    matdir.mkdir()
+    sio.savemat(str(matdir / 'rot-mnist.mat'), {'X': X, 'Y': Y})
+    train, valid, test = dm.load_mnist_data(
+        data_root=str(tmp_path), batch_size=2, T=16, Ndata=2, Nvalid=1,
+        Ntest=1, digit=1, seed=0)
+    assert train.source == 'mat'
+    ones = X[Y[:, 0] == 1].astype(np.float32)
+    expect = (ones[:2].reshape(2, 16, 1, 28, 28)
+              - dm.MNIST_MEAN) / dm.MNIST_STD
+    np.testing.assert_allclose(np.asarray(train.X), expect, rtol=1e-6,
+                               atol=1e-6)

@@ -184,3 +184,33 @@ def test_fused_euler_flow_nonuniform_grid():
     assert g.shape == (4,)
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).min() > 0
+
+
+def test_bdf_through_pallas_dispatch():
+    """Regression (round-1 advisor finding): the bdf Newton iteration must
+    not apply forward-mode AD through the custom_vjp Pallas kernel.
+
+    Forces the *real* dispatch path svgp.fn_eval -> fused_pathwise_eval
+    (interpret mode on CPU) so CI exercises the same code the TPU runs;
+    the solver's Newton Jacobian now uses jacrev (solvers.py), which is
+    reverse-mode and legal through custom_vjp."""
+    from vae_gp_ode_tpu.ops import config as ops_config
+    from vae_gp_ode_tpu.dynamics.flow import flow_forward
+
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=6, D_out=6,
+                               M=12, kernel='RBF')
+    gp = gp.replace(kernel=rbfk.init_rbf_params(6, 6, dimwise=True,
+                                                lengthscale=1.5,
+                                                variance=0.5))
+    s = svgp.draw_fn_sample(gp, jax.random.PRNGKey(1), S=16)
+    z0 = jax.random.normal(jax.random.PRNGKey(2), (4, 6)) * 0.3
+    ts = 0.1 * jnp.arange(5)
+
+    ops_config.set_use_pallas(True)
+    try:
+        zt_pallas, _ = flow_forward(gp, s, z0, ts, order=1, solver='bdf')
+    finally:
+        ops_config.set_use_pallas(None)
+    zt_ref, _ = flow_forward(gp, s, z0, ts, order=1, solver='bdf')
+    np.testing.assert_allclose(np.asarray(zt_pallas), np.asarray(zt_ref),
+                               rtol=2e-4, atol=2e-5)

@@ -87,3 +87,43 @@ def test_feature_parallel_shared_lengthscale():
     f_fp = fp_fn_eval(gp, fp_sample, x, mesh)
     np.testing.assert_allclose(np.asarray(f_fp), np.asarray(f_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_data_parallel_epoch_matches_single_device():
+    """A whole scanned EPOCH under data parallelism must equal the
+    single-device scanned epoch (VERDICT round-1 item 3): multi-chip
+    training keeps the one-dispatch-per-epoch property with identical
+    math."""
+    from vae_gp_ode_tpu.parallel import (
+        make_parallel_train_epoch, shard_epoch)
+    from vae_gp_ode_tpu.training.trainer import make_train_epoch
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=8, T=4)
+    state, tx = create_train_state(model, variables, gp)
+    # 3 iterations x global batch 8, sharded 1-per-device
+    batches = jax.random.uniform(jax.random.PRNGKey(1),
+                                 (3, 8, 4, 1, 28, 28))
+    batches = (batches - 0.1307) / 0.3081
+    key = jax.random.PRNGKey(2)
+
+    ep1 = make_train_epoch(model, tx, num_observations=8.0, eps_guard=True)
+    s1, m1 = ep1(state, batches, key, 1)
+
+    mesh = make_mesh({'data': 8})
+    epn = make_parallel_train_epoch(model, tx, num_observations=8.0,
+                                    mesh=mesh, eps_guard=True)
+    sn, mn = epn(replicate(state, mesh), shard_epoch(batches, mesh), key, 1)
+
+    np.testing.assert_allclose(np.asarray(m1['loss']),
+                               np.asarray(mn['loss']), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(s1.gp.Um), np.asarray(sn.gp.Um),
+                               rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(s1.vae_params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(sn.vae_params)[0]),
+        rtol=1e-3, atol=1e-5)
+    # a second epoch runs on the returned (replicated) state
+    sn2, mn2 = epn(sn, shard_epoch(batches, mesh), jax.random.PRNGKey(3), 1)
+    assert np.isfinite(np.asarray(mn2['loss'])).all()

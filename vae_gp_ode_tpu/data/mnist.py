@@ -71,10 +71,24 @@ class Loader:
 
     def epoch_batches(self):
         """One epoch's batches stacked as (I, B, ...) on device (for the
-        whole-epoch scanned train path); drops the ragged tail batch."""
+        whole-epoch scanned train path).
+
+        NOTE: the scan needs a static batch shape, so a ragged tail batch
+        (when N % batch != 0) is dropped - unlike the reference DataLoader
+        (drop_last=False) and this Loader's own __iter__. A warning is
+        logged once per Loader."""
         import jax.numpy as _jnp
         n = self.X.shape[0]
         I = n // self.batch_size
+        tail = n - I * self.batch_size
+        if tail and not getattr(self, '_tail_warned', False):
+            import logging
+            logging.getLogger(__name__).warning(
+                'epoch_batches: dropping ragged tail batch of %d/%d '
+                'sequences each epoch (N %% batch != 0); use --fast_epoch '
+                'False or a divisor batch size to see every sequence',
+                tail, n)
+            self._tail_warned = True
         idx = (self._rng.permutation(n) if self.shuffle
                else np.arange(n))[:I * self.batch_size]
         return self.X[_jnp.asarray(idx)].reshape(

@@ -56,7 +56,8 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
                 z0, sample.rff.omega, sample.rff.phase, sample.rff.weights,
                 gp.inducing_loc, sample.nu[..., 0],
                 rbf_lengthscales(gp.kernel), rbf_variance(gp.kernel),
-                jnp.diff(ts), T, order)
+                jnp.diff(ts), T, order,
+                interpret=ops_config.interpret_mode())
             return jnp.transpose(zs, (1, 0, 2)), jnp.asarray(T - 1)
     rhs = make_ode_rhs(gp, sample, order)
     sol = odeint(rhs, z0, ts, method=solver, dense=dense, rtol=rtol,

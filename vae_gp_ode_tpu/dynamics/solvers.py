@@ -71,18 +71,36 @@ _ONESTEP = {'euler': _euler_step, 'midpoint': _midpoint_step,
 
 
 def _newton_solve(g, z_init, iters=6):
-    """Solve g(z) = 0 for batched z (N, D) with per-sample Newton.
+    """Solve g(z) = 0 for batched z (N, D) with damped per-sample Newton.
 
     D is the latent dimension (6-12): the (D, D) solves are tiny and fuse
-    into the scan body.
+    into the scan body. Two robustness choices:
+      * jacrev (not jacfwd): the GP right-hand side dispatches to a
+        jax.custom_vjp Pallas kernel on TPU, which forbids forward-mode
+        AD; reverse-mode costs the same at these tiny D.
+      * per-sample backtracking (step fractions 1, 1/2, 1/4, keep-current):
+        each iterate is accepted only if it reduces that sample's residual
+        norm, so the iteration is monotone and cannot blow up on stiff
+        vector fields (undamped Newton diverges on the wiggly
+        small-lengthscale DF field); where the unit step converges it is
+        taken, preserving quadratic convergence.
     """
-    jac = jax.vmap(jax.jacfwd(lambda zi: g(zi[None])[0]))
+    jac = jax.vmap(jax.jacrev(lambda zi: g(zi[None])[0]))
 
     def body(_, z):
         r = g(z)                      # (N, D)
         J = jac(z)                    # (N, D, D)
         dz = jnp.linalg.solve(J, r[..., None])[..., 0]
-        return z - dz
+        best_z = z
+        best_rn = jnp.sum(r * r, axis=-1)          # (N,)
+        for alpha in (1.0, 0.5, 0.25):
+            z_try = z - alpha * dz
+            rt = g(z_try)
+            rtn = jnp.sum(rt * rt, axis=-1)
+            better = rtn < best_rn
+            best_z = jnp.where(better[..., None], z_try, best_z)
+            best_rn = jnp.where(better, rtn, best_rn)
+        return best_z
 
     return jax.lax.fori_loop(0, iters, body, z_init)
 
@@ -117,66 +135,70 @@ def _fixed_singlestep(f, z0, ts, method, dense, remat):
 
 
 def _fixed_adams_family(f, z0, ts, method, dense, remat):
-    """2-step Adams methods on a uniform dense grid.
+    """4-step Adams methods on the dense substep grid, matching the
+    accuracy order of torchdiffeq's fixed-grid Adams solvers (order 4) that
+    the reference exposes under the same names (reference main.py:18).
 
-    explicit_adams: Adams-Bashforth-2;  fixed_adams/adams:
-    Adams-Bashforth-2 predictor + Adams-Moulton-2 (trapezoid) corrector.
-    The very first substep bootstraps with a midpoint step, hoisted OUT of
-    the steady-state loop so it costs one extra RHS evaluation total, not
-    one per substep (RHS evals are the measured hot path).
+    explicit_adams: Adams-Bashforth-4.  fixed_adams/adams: AB4 predictor +
+    Adams-Moulton-4 corrector (PECE). The first three substeps bootstrap
+    with RK4 (same order), unrolled OUTSIDE the steady-state scan so the
+    scan body stays two RHS evaluations. Coefficients assume locally
+    uniform substep spacing (as torchdiffeq's fixed-grid Adams do); the
+    framework's time grids are dt*arange(T), which is exactly uniform.
     """
     corrector = method in ('fixed_adams', 'adams')
+    T = ts.shape[0]
+    total = (T - 1) * dense
 
-    def substeps(z, f_prev, t0, h, start, stop):
-        """AB2(+AM2) substeps [start, stop) assuming f_prev is valid."""
+    # flat substep grid: start time and step size of each substep
+    h_int = (ts[1:] - ts[:-1]) / dense                      # (T-1,)
+    t_start = (ts[:-1, None]
+               + h_int[:, None] * jnp.arange(dense)).reshape(-1)
+    hs = jnp.repeat(h_int, dense)                           # (total,)
 
-        def substep(i, c):
-            zt, fp = c
-            t = t0 + i * h
-            fc = f(t, zt)
-            z_pred = zt + h * (1.5 * fc - 0.5 * fp)
+    nboot = min(3, total)
+    z = z0
+    boot_states = []
+    fhist = []                      # f at substep starts, oldest first
+    for i in range(nboot):          # static unroll (<= 3 substeps)
+        t0, h = t_start[i], hs[i]
+        k1 = f(t0, z)
+        k2 = f(t0 + 0.5 * h, z + 0.5 * h * k1)
+        k3 = f(t0 + 0.5 * h, z + 0.5 * h * k2)
+        k4 = f(t0 + h, z + h * k3)
+        fhist.append(k1)
+        z = z + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+        boot_states.append(z)
+
+    if total > nboot:
+        def substep(carry, inp):
+            zt, f1, f2, f3 = carry      # f3 = f_{n-1} ... f1 = f_{n-3}
+            t0, h = inp
+            fc = f(t0, zt)              # f_n
+            z_pred = zt + (h / 24.0) * (55.0 * fc - 59.0 * f3
+                                        + 37.0 * f2 - 9.0 * f1)
             if corrector:
-                f_pred = f(t + h, z_pred)
-                z_new = zt + 0.5 * h * (fc + f_pred)
+                f_pred = f(t0 + h, z_pred)
+                z_new = zt + (h / 24.0) * (9.0 * f_pred + 19.0 * fc
+                                           - 5.0 * f3 + f2)
             else:
                 z_new = z_pred
-            return z_new, fc
+            return (z_new, f2, f3, fc), z_new
 
-        return jax.lax.fori_loop(start, stop, substep, (z, f_prev))
-
-    def first_interval(z, t0, t1):
-        """Bootstrap substep 0 with midpoint, then steady AB2/ABM2."""
-        h = (t1 - t0) / dense
-        f0 = f(t0, z)
-        k2 = f(t0 + 0.5 * h, z + 0.5 * h * f0)
-        z_pred = z + h * k2
-        if corrector:
-            f_pred = f(t0 + h, z_pred)
-            z1 = z + 0.5 * h * (f0 + f_pred)
-        else:
-            z1 = z_pred
-        return substeps(z1, f0, t0, h, 1, dense)
-
-    def interval(carry, t_pair):
-        z, f_prev = carry
-        t0, t1 = t_pair
-        h = (t1 - t0) / dense
-        z1, f_last = substeps(z, f_prev, t0, h, 0, dense)
-        return (z1, f_last), z1
-
-    if remat:
-        interval = jax.checkpoint(interval)
-
-    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-    z1, f_last = first_interval(z0, ts[0], ts[1])
-    if ts.shape[0] > 2:
-        (_, _), zs_rest = jax.lax.scan(interval, (z1, f_last), t_pairs[1:])
-        zs = jnp.concatenate([z0[None], z1[None], zs_rest], axis=0)
+        if remat:
+            substep = jax.checkpoint(substep)
+        carry0 = (z, fhist[-3], fhist[-2], fhist[-1])
+        _, rest = jax.lax.scan(substep, carry0,
+                               (t_start[nboot:], hs[nboot:]))
+        states = jnp.concatenate([jnp.stack(boot_states), rest], axis=0)
     else:
-        zs = jnp.stack([z0, z1], axis=0)
+        states = jnp.stack(boot_states) if boot_states \
+            else jnp.zeros((0,) + z0.shape, z0.dtype)
+
+    # outputs are the substep states at the end of each interval
+    zs = jnp.concatenate([z0[None], states[dense - 1::dense]], axis=0)
     per = 2 if corrector else 1
-    # bootstrap substep costs one extra eval (the midpoint stage)
-    nfe = jnp.asarray((ts.shape[0] - 1) * dense * per + 1)
+    nfe = jnp.asarray(nboot * 4 + max(total - nboot, 0) * per)
     return ODESolution(zs=zs, nfe=nfe)
 
 
@@ -217,9 +239,9 @@ def _fixed_bdf2(f, z0, ts, dense, remat, newton_iters=6):
     init = (z0, z0, jnp.asarray(False))
     _, zs = jax.lax.scan(interval, init, t_pairs)
     zs = jnp.concatenate([z0[None], zs], axis=0)
-    # 1 predictor eval + newton_iters * (1 eval + D jacfwd evals) per substep:
-    # report the direct evals (Jacobian products accounted as 1 each)
-    nfe = jnp.asarray((ts.shape[0] - 1) * dense * (1 + 2 * newton_iters))
+    # per substep: 1 predictor eval + newton_iters * (residual + Jacobian
+    # + 3 backtracking residuals); the Jacobian is accounted as 1
+    nfe = jnp.asarray((ts.shape[0] - 1) * dense * (1 + 5 * newton_iters))
     return ODESolution(zs=zs, nfe=nfe)
 
 
@@ -242,6 +264,23 @@ _DP_B5 = jnp.array([35 / 384, 0.0, 500 / 1113, 125 / 192, -2187 / 6784,
                     11 / 84, 0.0])
 _DP_B4 = jnp.array([5179 / 57600, 0.0, 7571 / 16695, 393 / 640,
                     -92097 / 339200, 187 / 2100, 1 / 40])
+# 4th-order dense-output interpolant (Shampine's quartic for Dormand-
+# Prince; identical to scipy.integrate RK45.P):
+#   z(t + theta*dt) = z + dt * sum_i k_i * sum_j P[i,j] theta^{j+1}
+_DP_P = jnp.array([
+    [1.0, -8048581381 / 2820520608, 8663915743 / 2820520608,
+     -12715105075 / 11282082432],
+    [0.0, 0.0, 0.0, 0.0],
+    [0.0, 131558114200 / 32700410799, -68118460800 / 10900136933,
+     87487479700 / 32700410799],
+    [0.0, -1754552775 / 470086768, 14199869525 / 1410260304,
+     -10690763975 / 1880347072],
+    [0.0, 127303824393 / 49829197408, -318862633887 / 49829197408,
+     701980252875 / 199316789632],
+    [0.0, -282668133 / 205662961, 2019193451 / 616988883,
+     -1453857185 / 822651844],
+    [0.0, 40617522 / 29380423, -110615467 / 29380423,
+     69997945 / 29380423]])
 
 
 def _dp_stages(f, t, z, dt, k1):
@@ -282,20 +321,18 @@ def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
         err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2) + 1e-30)
         accept = err_norm <= 1.0
 
-        # cubic Hermite dense output over [t, t+dt] for requested ts
+        # 4th-order DP dense output over [t, t+dt] for requested ts
+        # (Shampine's quartic interpolant, _DP_P - same as scipy RK45)
         k_end = ks[6]   # f(t+dt, z5) by FSAL property
         t_new = t + dt
         in_window = (ts > t) & (ts <= t_new) & (~filled) & accept & (~done)
-        s = jnp.clip((ts - t) / dt, 0.0, 1.0)
-        h00 = 2 * s**3 - 3 * s**2 + 1
-        h10 = s**3 - 2 * s**2 + s
-        h01 = -2 * s**3 + 3 * s**2
-        h11 = s**3 - s**2
+        theta = jnp.clip((ts - t) / dt, 0.0, 1.0)             # (T,)
+        tpow = jnp.stack([theta, theta ** 2, theta ** 3, theta ** 4],
+                         axis=-1)                             # (T, 4)
+        w = tpow @ _DP_P.T                                    # (T, 7)
+        interp = z[None] + dt * jnp.tensordot(w, jnp.stack(ks),
+                                              axes=([1], [0]))
         bshape = (T,) + (1,) * z0.ndim
-        interp = (h00.reshape(bshape) * z[None]
-                  + h10.reshape(bshape) * (dt * ks[0])[None]
-                  + h01.reshape(bshape) * z5[None]
-                  + h11.reshape(bshape) * (dt * k_end)[None])
         zs = jnp.where(in_window.reshape(bshape), interp, zs)
         filled = filled | in_window
 

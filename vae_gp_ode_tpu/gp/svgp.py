@@ -181,7 +181,8 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
                 x, s.rff.omega, s.rff.phase, s.rff.weights,
                 p.inducing_loc, s.nu[..., 0],
                 rbfk.rbf_lengthscales(p.kernel),
-                rbfk.rbf_variance(p.kernel))
+                rbfk.rbf_variance(p.kernel),
+                ops_config.interpret_mode())
     f_prior = rbfk.rbf_rff_eval(p.kernel, s.rff, x)
     f_up = rbfk.rbf_f_update(p.kernel, s.nu, x, p.inducing_loc)
     return f_prior + f_up

@@ -28,6 +28,17 @@ def set_use_pallas(value):
     _use_pallas = value
 
 
+def interpret_mode():
+    """True when the Pallas kernels must run in interpret mode (non-TPU
+    backend). Lets tests force the *real dispatch path* (incl. the
+    custom_vjp boundary that forbids forward-mode AD) on CPU via
+    set_use_pallas(True)."""
+    try:
+        return jax.default_backend() == 'cpu'
+    except Exception:
+        return True
+
+
 _fuse_flow = False
 
 

@@ -3,12 +3,27 @@
 The reference dumps raw state_dicts every epoch and never saves optimizer
 state (reference main.py:244; torch_utils.py:42-46 helper unused, so resume
 restarts Adam moments - quirk documented, fixed here). We checkpoint the
-full TrainState (params, batch stats, GP pytree, opt state, step) with
-Orbax when available, falling back to a plain msgpack/npz blob.
+full TrainState (params, batch stats, GP pytree, opt state, step).
+
+Formats:
+  * default single-file format is **npz** (flattened leaves + a treedef
+    fingerprint): loading it executes no code, so checkpoints from
+    untrusted sources are safe to open.
+  * legacy **pickle** checkpoints are still readable (restore falls back
+    with a warning) - pickle executes arbitrary code on load, so only
+    resume trusted local files.
+  * Orbax directory checkpoints for the idiomatic JAX ecosystem path
+    (versioned, async-capable, atomic).
+
+Restoring onto a `like` pytree validates leaf count and per-leaf
+shape/dtype before reattaching, so a checkpoint whose structure drifted
+cannot silently mis-assign parameters.
 """
 
+import io
 import os
 import pickle
+import warnings
 
 import jax
 import numpy as np
@@ -18,22 +33,82 @@ def _to_host(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _treedef_fingerprint(tree):
+    return str(jax.tree_util.tree_structure(tree))
+
+
+def _validate_like(leaves, like, src_fingerprint=None):
+    """Raise if `leaves` cannot safely be reattached to `like`'s treedef."""
+    like_leaves = jax.tree_util.tree_leaves(like)
+    if len(leaves) != len(like_leaves):
+        raise ValueError(
+            f'checkpoint/model structure mismatch: checkpoint has '
+            f'{len(leaves)} leaves, target has {len(like_leaves)}')
+    for i, (a, b) in enumerate(zip(leaves, like_leaves)):
+        a_shape = np.shape(a)
+        b_shape = np.shape(b)
+        if a_shape != b_shape:
+            raise ValueError(
+                f'checkpoint/model structure mismatch at leaf {i}: '
+                f'checkpoint shape {a_shape} vs target shape {b_shape} - '
+                f'refusing to reattach by flat order')
+    if src_fingerprint is not None:
+        tgt = _treedef_fingerprint(like)
+        if src_fingerprint != tgt:
+            warnings.warn(
+                'checkpoint treedef differs from the target (leaf '
+                'count/shapes match, so this is probably benign '
+                'dataclass-version drift); verify the restored state',
+                stacklevel=3)
+
+
 def save_checkpoint(state, path):
-    """Serialise a TrainState pytree to `path` (single file)."""
+    """Serialise a TrainState pytree to `path` (single npz file; loading
+    executes no code, unlike pickle)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     host = _to_host(state)
+    leaves = jax.tree_util.tree_leaves(host)
+    payload = {f'leaf_{i}': np.asarray(v) for i, v in enumerate(leaves)}
+    payload['__treedef__'] = np.asarray(_treedef_fingerprint(host))
+    buf = io.BytesIO()
+    np.savez(buf, **payload)
     with open(path, 'wb') as f:
-        pickle.dump(host, f)
+        f.write(buf.getvalue())
 
 
 def restore_checkpoint(path, like=None):
-    """Restore a TrainState. If `like` is given, leaves are cast onto the
-    same structure (guards against dataclass/version drift)."""
+    """Restore a TrainState saved by save_checkpoint.
+
+    npz checkpoints (the default format) load without executing code and
+    require `like` (the treedef donor); structure is validated leaf by
+    leaf. Legacy pickle checkpoints still load, with a warning - pickle
+    runs arbitrary code, so only restore trusted local files that way.
+    """
+    try:
+        data = np.load(path, allow_pickle=False)
+        is_npz = True
+    except Exception:
+        is_npz = False
+    if is_npz:
+        if like is None:
+            raise ValueError('npz checkpoints need `like=` (treedef donor)')
+        n = sum(1 for k in data.files if k.startswith('leaf_'))
+        leaves = [data[f'leaf_{i}'] for i in range(n)]
+        fp = str(data['__treedef__']) if '__treedef__' in data.files \
+            else None
+        _validate_like(leaves, like, fp)
+        return jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(like), leaves)
+    warnings.warn(
+        f'{path} is a legacy pickle checkpoint (loading executes code; '
+        f'only restore trusted local files). Re-save to get the npz '
+        f'format.', stacklevel=2)
     with open(path, 'rb') as f:
         host = pickle.load(f)
     if like is None:
         return host
     leaves = jax.tree_util.tree_leaves(host)
+    _validate_like(leaves, like, _treedef_fingerprint(host))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), leaves)
 
@@ -66,20 +141,45 @@ def restore_checkpoint_orbax(path, like, step=None):
 def save_vae_weights(vae_params, batch_stats, encoder_path, decoder_path):
     """Save encoder/decoder separately, mirroring the reference VAE.save
     (reference vae.py:32-35) so pretraining and coupled training stay
-    decoupled."""
-    enc = {'params': vae_params['encoder'],
-           'batch_stats': batch_stats.get('encoder', {})}
-    dec = {'params': vae_params['decoder'],
-           'batch_stats': batch_stats.get('decoder', {})}
-    with open(encoder_path, 'wb') as f:
-        pickle.dump(_to_host(enc), f)
-    with open(decoder_path, 'wb') as f:
-        pickle.dump(_to_host(dec), f)
+    decoupled. npz format: param and batch-stat leaves with path keys."""
+    from flax import traverse_util
+
+    def _save(params, stats, path):
+        flat = {'p/' + '/'.join(k): np.asarray(v)
+                for k, v in traverse_util.flatten_dict(params).items()}
+        flat.update({'s/' + '/'.join(k): np.asarray(v)
+                     for k, v in traverse_util.flatten_dict(stats).items()})
+        buf = io.BytesIO()
+        np.savez(buf, **flat)
+        with open(path, 'wb') as f:
+            f.write(buf.getvalue())
+
+    _save(vae_params['encoder'], batch_stats.get('encoder', {}),
+          encoder_path)
+    _save(vae_params['decoder'], batch_stats.get('decoder', {}),
+          decoder_path)
 
 
 def load_vae_weights(encoder_path, decoder_path):
-    with open(encoder_path, 'rb') as f:
-        enc = pickle.load(f)
-    with open(decoder_path, 'rb') as f:
-        dec = pickle.load(f)
-    return enc, dec
+    """Load encoder/decoder weight files saved by save_vae_weights (npz) or
+    by older versions (pickle; warns - see restore_checkpoint)."""
+    from flax import traverse_util
+
+    def _load(path):
+        try:
+            data = np.load(path, allow_pickle=False)
+        except Exception:
+            warnings.warn(
+                f'{path} is a legacy pickle VAE checkpoint (loading '
+                f'executes code; only load trusted local files)',
+                stacklevel=3)
+            with open(path, 'rb') as f:
+                return pickle.load(f)
+        params = {tuple(k[2:].split('/')): data[k] for k in data.files
+                  if k.startswith('p/')}
+        stats = {tuple(k[2:].split('/')): data[k] for k in data.files
+                 if k.startswith('s/')}
+        return {'params': traverse_util.unflatten_dict(params),
+                'batch_stats': traverse_util.unflatten_dict(stats)}
+
+    return _load(encoder_path), _load(decoder_path)

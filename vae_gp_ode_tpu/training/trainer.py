@@ -93,26 +93,16 @@ def make_train_step(model, tx, num_observations: float,
         _make_step_fn(model, tx, num_observations, eps_guard))
 
 
-def make_train_epoch(model, tx, num_observations: float,
-                     eps_guard: bool = False):
-    """Whole-epoch training as one device dispatch.
-
-    The reference (and the per-step path) fetches every metric scalar to
-    the host each iteration; over a remote TPU link those round-trips
-    dominate wall-clock (~190x the compute at reference sizes). This
-    variant lax.scans the train step over the epoch's stacked batches and
-    returns per-iteration metric ARRAYS, fetched once per epoch.
+def _make_epoch_fn(step):
+    """Scan `step` over an epoch's stacked batches (shared by the
+    single-device and data-parallel epoch paths).
 
     NaN guard semantics: if a step produces a non-finite loss, that step's
     update is discarded (state carried through unchanged) and the metric
     row reports the non-finite loss so the host-side bailout (reference
     main.py:205-207) still fires after the epoch.
-
-    Returns train_epoch(state, batches (I,B,T,1,d,d), key, L).
     """
-    step = _make_step_fn(model, tx, num_observations, eps_guard)
 
-    @partial(jax.jit, static_argnums=(3,))
     def train_epoch(state: TrainState, batches, key, L: int):
         def body(carry, batch):
             st, k = carry
@@ -127,6 +117,23 @@ def make_train_epoch(model, tx, num_observations: float,
         return state, metrics
 
     return train_epoch
+
+
+def make_train_epoch(model, tx, num_observations: float,
+                     eps_guard: bool = False):
+    """Whole-epoch training as one device dispatch.
+
+    The reference (and the per-step path) fetches every metric scalar to
+    the host each iteration; over a remote TPU link those round-trips
+    dominate wall-clock (~190x the compute at reference sizes). This
+    variant lax.scans the train step over the epoch's stacked batches and
+    returns per-iteration metric ARRAYS, fetched once per epoch.
+
+    Returns train_epoch(state, batches (I,B,T,1,d,d), key, L). The
+    data-parallel variant is parallel.make_parallel_train_epoch.
+    """
+    step = _make_step_fn(model, tx, num_observations, eps_guard)
+    return partial(jax.jit, static_argnums=(3,))(_make_epoch_fn(step))
 
 
 def make_eval_step(model, T_custom: Optional[int] = None):
