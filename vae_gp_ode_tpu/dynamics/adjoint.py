@@ -1,31 +1,42 @@
-"""Continuous adjoint-sensitivity reverse mode for fixed-step solvers.
+"""Continuous adjoint-sensitivity reverse mode for the ODE solvers.
 
 The reference's --use_adjoint flag selects torchdiffeq's odeint_adjoint
-(reference flow.py:3,76): O(1)-memory gradients by integrating the adjoint
-ODE backwards in time. The lax.scan solvers in this framework already get
-O(T)-memory exact gradients via rematerialisation, which is usually the
-better trade on TPU - but the continuous adjoint is part of the reference
-capability surface and is the right tool for very long horizons, so it is
-provided as a first-class option.
+(reference flow.py:3,76), which works with ANY of its solvers including
+dopri5 (reference main.py:85): O(1)-memory gradients by integrating the
+adjoint ODE backwards in time. The lax.scan solvers in this framework
+already get O(T)-memory exact gradients via rematerialisation, which is
+usually the better trade on TPU - but the continuous adjoint is part of
+the reference capability surface and is the right tool for very long
+horizons, so it is provided as a first-class option for every solver.
 
 Augmented backward system over each output interval (integrated in
-reversed time with the same fixed-step solver as the forward pass):
+reversed time):
 
     dz/ds   = -f(theta, t, z)
     da/ds   =  a^T df/dz          (vjp)
     dgth/ds =  a^T df/dtheta      (vjp)
 
-with a += cotangent(z_i) injected at each saved output time. Gradients
-w.r.t. ts are not produced (returned as zeros) - time grids in this
-framework are dt * arange(T).
+with a += cotangent(z_i) injected at each saved output time.
+
+Two backward integrators:
+  * euler/midpoint/rk4: hand-rolled fixed-step over the augmented pytree
+    (cheapest; same solver as the forward pass, torchdiffeq semantics).
+  * everything else (dopri5, adams family, bdf): the augmented state is
+    ravelled to one flat vector and integrated per interval with the SAME
+    solver via dynamics.solvers.odeint - adaptive dopri5 backward solves
+    included.
+
+Gradients w.r.t. ts are not produced (returned as zeros) - time grids in
+this framework are dt * arange(T).
 """
 
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.flatten_util import ravel_pytree
 
-from vae_gp_ode_tpu.dynamics.solvers import ODESolution, odeint
+from vae_gp_ode_tpu.dynamics.solvers import odeint
 
 _FIXED = ('euler', 'midpoint', 'rk4')
 
@@ -51,30 +62,35 @@ def _step_tree(method, rhs, t, state, h):
         acc = jax.tree.map(
             lambda a, b, c, d: a + 2 * b + 2 * c + d, k1, k2, k3, k4)
         return _tree_axpy(h / 6.0, acc, state)
-    raise ValueError(f'adjoint supports {_FIXED}, got {method!r}')
+    raise ValueError(f'fixed-step adjoint supports {_FIXED}, '
+                     f'got {method!r}')
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5))
-def odeint_adjoint(f, theta, z0, ts, method='euler', dense=1):
+@partial(jax.custom_vjp, nondiff_argnums=(0, 4, 5, 6, 7, 8))
+def odeint_adjoint(f, theta, z0, ts, method='euler', dense=1,
+                   rtol=1e-6, atol=1e-6, max_steps=256):
     """Integrate dz/dt = f(theta, t, z); reverse mode via adjoint ODE.
 
     @param f: RHS (theta, t, z) -> dz, pure in theta (a pytree of params)
     @param theta: parameter pytree (cotangents flow through the adjoint)
+    @param method: any solver in dynamics.solvers.SOLVERS; the backward
+        pass uses the same method (adaptive for dopri5)
     @return: zs (T, *z0.shape)
     """
     sol = odeint(lambda t, z: f(theta, t, z), z0, ts, method=method,
-                 dense=dense, remat=False)
+                 dense=dense, rtol=rtol, atol=atol, max_steps=max_steps,
+                 remat=False)
     return sol.zs
 
 
-def _adj_fwd(f, theta, z0, ts, method, dense):
-    zs = odeint_adjoint(f, theta, z0, ts, method, dense)
+def _adj_fwd(f, theta, z0, ts, method, dense, rtol, atol, max_steps):
+    zs = odeint_adjoint(f, theta, z0, ts, method, dense, rtol, atol,
+                        max_steps)
     return zs, (theta, zs, ts)
 
 
-def _adj_bwd(f, method, dense, res, zs_bar):
+def _adj_bwd(f, method, dense, rtol, atol, max_steps, res, zs_bar):
     theta, zs, ts = res
-    T = ts.shape[0]
     gth0 = jax.tree.map(jnp.zeros_like, theta)
 
     def aug_rhs(t, aug):
@@ -84,24 +100,46 @@ def _adj_bwd(f, method, dense, res, zs_bar):
         # reversed-time signs: s = -t
         return (jax.tree.map(jnp.negative, fz), a_dot, gth_dot)
 
+    if method in _FIXED:
+        def solve_interval(aug, t0, t1):
+            """Fixed-step backward integration t1 -> t0 over the pytree."""
+            h = (t1 - t0) / dense
+
+            def substep(i, aug_):
+                # integrate in the reversed-time variable s (t = t1 - s) so
+                # the solver's intermediate stages at s + c*h evaluate the
+                # RHS at t1 - s - c*h (moving toward t0)
+                s = i * h
+
+                def rhs_s(s_, a_):
+                    return aug_rhs(t1 - s_, a_)
+
+                return _step_tree(method, rhs_s, s, aug_, h)
+
+            return jax.lax.fori_loop(0, dense, substep, aug)
+    else:
+        def solve_interval(aug, t0, t1):
+            """Backward integration with the forward solver itself on the
+            ravelled augmented state (adaptive for dopri5). The flat state
+            is carried as (1, size): bdf's batched Newton treats the
+            leading axis as samples."""
+            flat, unravel = ravel_pytree(aug)
+
+            def rhs_flat(s_, y):
+                d = aug_rhs(t1 - s_, unravel(y[0]))
+                return ravel_pytree(d)[0][None]
+
+            span = jnp.stack([jnp.zeros_like(t1), t1 - t0])
+            sol = odeint(rhs_flat, flat[None], span, method=method,
+                         dense=dense, rtol=rtol, atol=atol,
+                         max_steps=max_steps, remat=False)
+            return unravel(sol.zs[-1][0])
+
     def interval(carry, inp):
         a, gth = carry
         z_end, zbar_end, t0, t1 = inp           # integrate t1 -> t0
         a = a + zbar_end
-        h = (t1 - t0) / dense
-
-        def substep(i, aug):
-            # integrate in the reversed-time variable s (t = t1 - s) so the
-            # solver's intermediate stages at s + c*h correctly evaluate the
-            # RHS at t1 - s - c*h (moving toward t0)
-            s = i * h
-
-            def rhs_s(s_, aug_):
-                return aug_rhs(t1 - s_, aug_)
-
-            return _step_tree(method, rhs_s, s, aug, h)
-
-        z, a, gth = jax.lax.fori_loop(0, dense, substep, (z_end, a, gth))
+        z, a, gth = solve_interval((z_end, a, gth), t0, t1)
         return (a, gth), None
 
     a0 = jnp.zeros_like(zs[0])
@@ -115,10 +153,13 @@ odeint_adjoint.defvjp(_adj_fwd, _adj_bwd)
 
 
 def flow_forward_adjoint(gp, sample, z0, ts, order=1, solver='euler',
-                         dense=1):
+                         dense=1, rtol=1e-6, atol=1e-6, max_steps=256):
     """flow_forward variant using the continuous adjoint: gradients w.r.t.
     (gp, sample) flow through the backward ODE solve; the sample's own
-    construction (Cholesky etc.) is differentiated by the outer graph."""
+    construction (Cholesky etc.) is differentiated by the outer graph.
+
+    Works with every solver (reference flow.py:76-85 semantics: torchdiffeq
+    odeint_adjoint accepts any method incl. dopri5)."""
     from vae_gp_ode_tpu.gp.svgp import fn_eval
 
     def f(theta, t, z):
@@ -130,7 +171,13 @@ def flow_forward_adjoint(gp, sample, z0, ts, order=1, solver='euler',
         return fn_eval(gp_, sample_, z)
 
     zs = odeint_adjoint(f, (gp, sample), z0, ts, method=solver,
-                        dense=dense)
-    nfe = jnp.asarray((ts.shape[0] - 1) * dense
-                      * {'euler': 1, 'midpoint': 2, 'rk4': 4}[solver])
+                        dense=dense, rtol=rtol, atol=atol,
+                        max_steps=max_steps)
+    per = {'euler': 1, 'midpoint': 2, 'rk4': 4}.get(solver)
+    if per is not None:
+        nfe = jnp.asarray((ts.shape[0] - 1) * dense * per)
+    else:
+        # adaptive/multistep counts are dynamic; report the output-grid
+        # lower bound (exact nfe is available on the non-adjoint path)
+        nfe = jnp.asarray(ts.shape[0] - 1)
     return jnp.transpose(zs, (1, 0, 2)), nfe

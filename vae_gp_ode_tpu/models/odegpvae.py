@@ -45,15 +45,6 @@ class ODEGPVAE(nn.Module):
     use_adjoint: bool = False  # continuous adjoint vs remat backprop
 
     def setup(self):
-        if self.use_adjoint and self.solver not in ('euler', 'midpoint',
-                                                    'rk4'):
-            import warnings
-            warnings.warn(
-                f'use_adjoint: the continuous adjoint supports the '
-                f"fixed-step solvers ('euler', 'midpoint', 'rk4'); "
-                f'{self.solver!r} falls back to rematerialised '
-                f'backprop-through-solver (exact gradients, O(T) states)',
-                stacklevel=2)
         self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1)
         self.decoder = Decoder(self.latent_dim, self.n_filt)
         if self.order == 2:
@@ -89,13 +80,15 @@ class ODEGPVAE(nn.Module):
 
         def one(k):
             s = draw_fn_sample(gp, k, self.num_features)
-            if self.use_adjoint and self.solver in ('euler', 'midpoint',
-                                                    'rk4'):
+            if self.use_adjoint:
+                # continuous adjoint for ANY solver (the reference gets
+                # this from torchdiffeq's odeint_adjoint, flow.py:76-85)
                 from vae_gp_ode_tpu.dynamics.adjoint import (
                     flow_forward_adjoint)
                 zt, nfe = flow_forward_adjoint(
                     gp, s, z0, ts, order=self.order, solver=self.solver,
-                    dense=self.dense)
+                    dense=self.dense, rtol=self.rtol, atol=self.atol,
+                    max_steps=self.max_steps)
             else:
                 zt, nfe = flow_forward(
                     gp, s, z0, ts, order=self.order, solver=self.solver,
