@@ -86,13 +86,18 @@ parser.add_argument('--device', type=str, default='tpu',
                     help="placeholder for device (JAX manages placement)")
 parser.add_argument('--continue_training', type=eval, default=False)
 parser.add_argument('--model_path', type=str, default='None')
-parser.add_argument('--eps_guard', type=eval, default=False,
-                    help="use the EPSILON-guarded Bernoulli log-prob "
-                         "log(1e-3+z) (the reference's dead except-branch, "
-                         "vae.py:149). Default False = the reference's LIVE "
-                         "objective log(z)x + log(1-z)(1-x) (vae.py:147; "
-                         "its try never raises). Set True if training NaNs "
-                         "out on saturated sigmoid outputs")
+parser.add_argument('--eps_guard', type=eval, default=True,
+                    help="DELIBERATE DEVIATION from the reference default: "
+                         "True uses the EPSILON-guarded Bernoulli log-prob "
+                         "log(1e-3+z)x + log(1e-3+1-z)(1-x) (the "
+                         "reference's dead except-branch, vae.py:149). The "
+                         "reference's live objective (False; vae.py:147) "
+                         "is UNBOUNDED ABOVE on mean/std-normalised pixels "
+                         "(X>1 makes log(1-z)(1-X) -> +inf as z -> 1): "
+                         "measured to diverge to NaN within 2 epochs "
+                         "out-of-box - which is why the reference ships a "
+                         "NaN bailout. --eps_guard False restores the "
+                         "exact reference objective (parity-tested)")
 parser.add_argument('--plot_freq', type=int, default=1,
                     help="epochs between eval plots/checkpoints (the "
                          "reference plots+checkpoints every epoch; host-"

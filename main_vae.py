@@ -38,11 +38,11 @@ parser.add_argument('--vae_epochs', type=int, default=300)
 parser.add_argument('--output_path', type=str, default='results/vae')
 parser.add_argument('--save', type=str, default='data/moving_mnist')
 parser.add_argument('--log_freq', type=int, default=20)
-parser.add_argument('--eps_guard', type=eval, default=False,
+parser.add_argument('--eps_guard', type=eval, default=True,
                     help="EPSILON-guarded Bernoulli log-prob (the "
-                         "reference's dead except-branch); default False = "
-                         "the reference's live unguarded objective "
-                         "(vae.py:147)")
+                         "reference's dead except-branch; guards against "
+                         "log(0) on saturated sigmoids). False = the "
+                         "reference's live unguarded objective (vae.py:147)")
 
 
 def main():
