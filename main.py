@@ -152,20 +152,14 @@ def final_plots(logger, args, model, state, trainset, testset, meters,
 
 
 def latent_trajectories(model, state, batch, key):
-    """Encode + integrate (no decode) for latent-dynamics plots."""
-    Xrec, s_stats, v_stats, nfe = model.apply(
-        {'params': state.vae_params, 'batch_stats': state.batch_stats},
-        batch, state.gp, key, L=1, train=False)
-    import jax
-    import jax.numpy as jnp
-    # re-run just the latent part for the trajectory trace
-    z0, _, _ = model.apply(
-        {'params': state.vae_params, 'batch_stats': state.batch_stats},
-        batch, key, False, method=model.encode)
-    ztL, _ = model.apply(
-        {'params': state.vae_params, 'batch_stats': state.batch_stats},
-        state.gp, z0, batch.shape[1], key, 1,
-        method=model.sample_trajectories)
+    """Encode + integrate (no decode) for latent-dynamics plots
+    (reference plot_utils.py:83-99 protocol)."""
+    variables = {'params': state.vae_params,
+                 'batch_stats': state.batch_stats}
+    z0, _, _ = model.apply(variables, batch, key, False,
+                           method=model.encode)
+    ztL, _ = model.apply(variables, state.gp, z0, batch.shape[1], key, 1,
+                         method=model.sample_trajectories)
     return ztL
 
 

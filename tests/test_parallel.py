@@ -127,3 +127,28 @@ def test_data_parallel_epoch_matches_single_device():
     # a second epoch runs on the returned (replicated) state
     sn2, mn2 = epn(sn, shard_epoch(batches, mesh), jax.random.PRNGKey(3), 1)
     assert np.isfinite(np.asarray(mn2['loss'])).all()
+
+
+def test_feature_parallel_flow_matches():
+    """A whole latent trajectory under feature-parallel GP evaluation
+    equals the single-device flow (the large-S scale-out path)."""
+    from vae_gp_ode_tpu.parallel import fp_flow_forward
+    from vae_gp_ode_tpu.dynamics.flow import flow_forward
+
+    mesh = make_mesh({'model': 8})
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=4, D_out=4,
+                               M=12, kernel='RBF', dimwise=True)
+    key = jax.random.PRNGKey(1)
+    S = 64
+    sample = svgp.draw_fn_sample(gp, key, S)
+    z0 = jax.random.normal(jax.random.PRNGKey(2), (6, 4)) * 0.5
+    ts = 0.1 * jnp.arange(8)
+
+    zt_ref, nfe_ref = flow_forward(gp, sample, z0, ts, order=1,
+                                   solver='rk4')
+    fp_sample = fp_draw_fn_sample(gp, key, S, mesh)
+    zt_fp, nfe_fp = fp_flow_forward(gp, fp_sample, z0, ts, mesh,
+                                    order=1, solver='rk4')
+    np.testing.assert_allclose(np.asarray(zt_fp), np.asarray(zt_ref),
+                               rtol=2e-4, atol=2e-5)
+    assert int(nfe_fp) == int(nfe_ref)

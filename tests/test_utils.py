@@ -60,7 +60,10 @@ def test_plotting_smoke(tmp_path):
     X = np.random.rand(3, 4, 1, 28, 28)
     Xrec = np.random.rand(3, 4, 1, 28, 28)
     plotting.plot_rot_mnist(X, Xrec, fname=str(tmp_path / 'a.png'))
-    plotting.plot_rand_rot_mnist(X, Xrec, fname=str(tmp_path / 'ar.png'))
+    # plot_rand_rot_mnist takes FLAT frames (reference plot_utils.py:56-80)
+    plotting.plot_rand_rot_mnist(X.reshape(-1, 1, 28, 28),
+                                 Xrec.reshape(-1, 1, 28, 28),
+                                 fname=str(tmp_path / 'ar.png'), rows=2)
     plotting.plot_rollout(Xrec[None], fname=str(tmp_path / 'b.png'))
     plotting.plot_data(X, fname=str(tmp_path / 'c.png'))
     plotting.plot_latent_dynamics(np.random.randn(2, 3, 8, 4), order=2,

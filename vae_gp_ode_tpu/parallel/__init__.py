@@ -4,5 +4,5 @@ from vae_gp_ode_tpu.parallel.data_parallel import (  # noqa: F401
     shard_epoch, replicate,
 )
 from vae_gp_ode_tpu.parallel.feature_parallel import (  # noqa: F401
-    fp_draw_fn_sample, fp_fn_eval,
+    fp_draw_fn_sample, fp_fn_eval, fp_flow_forward,
 )

@@ -84,3 +84,30 @@ def fp_fn_eval(gp: SVGPParams, sample: FnSample, x, mesh, axis='model'):
                          sample.rff.weights, x)
     f_up = rbfk.rbf_f_update(gp.kernel, sample.nu, x, gp.inducing_loc)
     return f_prior + f_up
+
+
+def fp_flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, mesh,
+                    order=1, solver='euler', dense=1, axis='model'):
+    """Latent-trajectory integration with feature-parallel GP evaluation:
+    every solver step's f(x) shards the S Fourier features over the mesh
+    axis (one psum per step over ICI).
+
+    This is the scale-out path for LARGE feature counts (S in the tens of
+    thousands, where one device's VMEM/FLOPs no longer hold the feature
+    map) - at the reference's S=256 a single chip is faster. Use for
+    inference/rollouts or as the inner solve of a large-S config; training
+    at reference sizes uses data parallelism (data_parallel.py).
+
+    Same signature semantics as dynamics.flow.flow_forward: returns
+    (zt (N, T, D), nfe)."""
+    from vae_gp_ode_tpu.dynamics.solvers import odeint
+
+    def rhs(t, z):
+        if order == 2:
+            q = z.shape[1] // 2
+            return jnp.concatenate(
+                [z[:, q:], fp_fn_eval(gp, sample, z, mesh, axis)], axis=1)
+        return fp_fn_eval(gp, sample, z, mesh, axis)
+
+    sol = odeint(rhs, z0, ts, method=solver, dense=dense, remat=False)
+    return jnp.transpose(sol.zs, (1, 0, 2)), sol.nfe

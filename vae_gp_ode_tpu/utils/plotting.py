@@ -55,11 +55,31 @@ def plot_rollout(Xrec, fname='rollout.png'):
     plt.close()
 
 
-def plot_rand_rot_mnist(X, Xrec, fname='rand_rot_mnist.png'):
-    """Variant of plot_rot_mnist for random-initial-angle data: pairs of
-    GT/recon rows for the first few sequences (reference plot_utils.py:
-    plot_rand_rot_mnist)."""
-    plot_rot_mnist(X, Xrec, False, fname=fname, N=min(4, len(X)))
+def plot_rand_rot_mnist(X, Xrec, fname='rand_rot_mnist.png', rows=4):
+    """Random-initial-angle variant over FLAT frames (B, 1, 28, 28):
+    `rows` paired rows of N=4 columns, a GT row above each recon row,
+    walking the flat index (reference plot_utils.py:56-80 layout,
+    including its skip-one-frame-per-row index advance)."""
+    X = np.asarray(X)
+    Xrec = np.asarray(Xrec)
+    N = min(X.shape[0], 4)
+    plt.figure(2, (N, 3 * rows))
+    idx_x = idx_rec = 0
+    for r in range(rows):
+        for i in range(N):
+            plt.subplot(2 * rows, N, r * N * 2 + i + 1)
+            plt.imshow(_img(X[idx_x]), cmap='gray')
+            plt.xticks([]), plt.yticks([])
+            idx_x += 1
+        for i in range(N):
+            plt.subplot(2 * rows, N, r * N * 2 + i + N + 1)
+            plt.imshow(_img(Xrec[idx_rec]), cmap='gray')
+            plt.xticks([]), plt.yticks([])
+            idx_rec += 1
+        idx_x += 1
+        idx_rec += 1
+    plt.savefig(fname)
+    plt.close()
 
 
 def plot_data(X, fname='data.png', size=6):
