@@ -136,3 +136,35 @@ def test_mat_file_digit_filter_other_digit(tmp_path):
               - dm.MNIST_MEAN) / dm.MNIST_STD
     np.testing.assert_allclose(np.asarray(train.X), expect, rtol=1e-6,
                                atol=1e-6)
+
+
+def test_load_mat_mnist_data_frame_level(tmp_path):
+    """Frame-level .mat loader (reference mnist.py:91-128): flat
+    UNNORMALISED frames + frame-index labels."""
+    import types
+    import scipy.io as sio
+
+    rng = np.random.RandomState(2)
+    T = 4
+    X = rng.rand(6, T, 784)
+    Y = np.array([3, 3, 3, 3, 3, 7]).reshape(-1, 1)
+    matdir = tmp_path / 'rot_mnist'
+    matdir.mkdir()
+    sio.savemat(str(matdir / 'rot-mnist.mat'), {'X': X, 'Y': Y})
+
+    args = types.SimpleNamespace(data_root=str(tmp_path), mask=True,
+                                 value=3, Ndata=3, Ntest=2, T=T, batch=4,
+                                 seed=0)
+    train, test = dm.load_mat_mnist_data(args)
+    assert train.X.shape == (3 * T, 1, 28, 28)
+    assert test.X.shape == (2 * T, 1, 28, 28)
+    x, y = train.first()
+    assert x.shape == (4, 1, 28, 28)
+    assert y.shape == (4,)
+    assert int(np.asarray(y).max()) < T
+    # unnormalised [0,1] pixels (no mean/std shift)
+    assert float(np.asarray(train.X).min()) >= 0.0
+    threes = X[Y[:, 0] == 3].astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(train.X), threes[:3].reshape(3 * T, 1, 28, 28),
+        rtol=1e-6)

@@ -214,3 +214,38 @@ def test_bdf_through_pallas_dispatch():
     zt_ref, _ = flow_forward(gp, s, z0, ts, order=1, solver='bdf')
     np.testing.assert_allclose(np.asarray(zt_pallas), np.asarray(zt_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_backward_kernel_matches_reference_vjp():
+    """The hand-written Pallas backward must produce ALL eight operand
+    cotangents equal to the jnp reference-graph VJP."""
+    from vae_gp_ode_tpu.ops.pathwise import _pallas_backward
+
+    ops = _operands(jax.random.PRNGKey(5))
+    g = jax.random.normal(jax.random.PRNGKey(6), (ops[0].shape[0],
+                                                  ops[7].shape[0]))
+    _, vjp = jax.vjp(pathwise_eval_reference, *ops)
+    ref_grads = vjp(g)
+    pk_grads = _pallas_backward(*ops, g, interpret=True)
+    names = ['x', 'omega', 'phase', 'weights', 'Z', 'nu', 'ls', 'var']
+    for name, a, b in zip(names, pk_grads, ref_grads):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5, err_msg=name)
+
+
+def test_fused_eval_custom_vjp_end_to_end():
+    """Gradient through fused_pathwise_eval (Pallas fwd + Pallas bwd in
+    interpret mode) equals the reference composition's gradient."""
+    ops = _operands(jax.random.PRNGKey(7))
+
+    def loss_fused(*a):
+        return jnp.sum(fused_pathwise_eval(*a, True) ** 2)
+
+    def loss_ref(*a):
+        return jnp.sum(pathwise_eval_reference(*a) ** 2)
+
+    g_f = jax.grad(loss_fused, argnums=tuple(range(8)))(*ops)
+    g_r = jax.grad(loss_ref, argnums=tuple(range(8)))(*ops)
+    for a, b in zip(g_f, g_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)

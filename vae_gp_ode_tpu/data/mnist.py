@@ -177,6 +177,43 @@ def load_data(args, plot=False):
     return train, test
 
 
+def load_mat_mnist_data(args, plot=False):
+    """Frame-level loader over the .mat sequences: flatten the first
+    Ndata/Ntest sequences into (N*T, 1, 28, 28) frames with frame-index
+    time labels, UNNORMALISED (reference mnist.py:91-128 + the
+    Dataset_labels wrapper, utils.py:17-28 - unused by the reference
+    mains but part of its data surface).
+
+    Returns (trainset, testset) Loaders yielding (frames, labels).
+    """
+    import scipy.io as sio
+    fullname = os.path.join(args.data_root, 'rot_mnist', 'rot-mnist.mat')
+    d = sio.loadmat(fullname)
+    X = np.squeeze(d['X'])
+    if getattr(args, 'mask', True):
+        Y = np.squeeze(d['Y'])
+        X = X[Y == getattr(args, 'value', 3)]
+
+    N, Ntest, T = args.Ndata, args.Ntest, args.T
+    seed = getattr(args, 'seed', 0)
+    Xtr = X[:N].astype(np.float32).reshape(N * T, 1, 28, 28)
+    Xte = X[N:N + Ntest].astype(np.float32).reshape(Ntest * T, 1, 28, 28)
+    t = np.linspace(0, T - 1, T).astype(np.uint8).reshape(1, -1)
+    tr_t = np.repeat(t, N, axis=0).reshape(-1)
+    te_t = np.repeat(t, Ntest, axis=0).reshape(-1)
+    trainset = Loader(Xtr, args.batch, shuffle=True, seed=seed,
+                      labels=tr_t)
+    testset = Loader(Xte, args.batch, shuffle=True, seed=seed + 1,
+                     labels=te_t)
+    if plot:
+        from vae_gp_ode_tpu.utils import plotting
+        x, _ = trainset.first()
+        plotting.plot_data(np.asarray(x)[None, :16],
+                           fname=os.path.join(args.save, 'plots/data.png'),
+                           size=1)
+    return trainset, testset
+
+
 def create_rotating_dataset(save_dir, digit=3, train_n=100, test_n=10,
                             n_angles=64, seed=0):
     """Flat rotating frames for VAE pretraining (reference

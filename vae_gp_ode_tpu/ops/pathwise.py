@@ -127,11 +127,114 @@ def _pallas_forward(x, omega, phase, weights, Z, nu, ls, var,
     )(x, omega, phase, weights, Z, nu, ls, var)
 
 
+def _pathwise_bwd_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
+                         ls_ref, var_ref, g_ref,
+                         dx_ref, dom_ref, dph_ref, dw_ref, dz_ref, dnu_ref,
+                         dls_ref, dvar_ref):
+    """Hand-written VJP of the fused pathwise evaluation: recomputes the
+    forward intermediates in VMEM (cheaper than spilling the (N, S) /
+    (N, M) activations to HBM) and emits every operand cotangent from one
+    kernel. The step backward is ~95% of train wall-clock (RESULTS.md
+    profile), so this replaces the ~25 XLA ops of the reference-graph VJP
+    per ODE step."""
+    x = x_ref[:]                    # (N, D)
+    Z = z_ref[:]                    # (M, D)
+    g = g_ref[:]                    # (N, K)
+    K = g.shape[1]
+    S = w_ref.shape[0]
+
+    def mm(a, b):
+        return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    dx = jnp.zeros_like(x)
+    dZ = jnp.zeros_like(Z)
+    for k in range(K):
+        gk = g[:, k:k + 1]                                 # (N, 1)
+        var_k = var_ref[k]
+        scale = jnp.sqrt(var_k / S)
+
+        # ---- prior term
+        om_k = omega_ref[:, :, k]                          # (D, S)
+        u = mm(x, om_k) + phase_ref[:, :, k]               # (N, S)
+        cosv = jnp.cos(u)
+        sinv = jnp.sin(u)
+        w_k = w_ref[:, k:k + 1]                            # (S, 1)
+        f1 = mm(cosv, w_k) * scale                         # (N, 1)
+        dw = mm(cosv.T, gk) * scale                        # (S, 1)
+        dcos = gk * (scale * w_k.T)                        # (N, S)
+        du = -sinv * dcos                                  # (N, S)
+        dph = jnp.sum(du, axis=0, keepdims=True)           # (1, S)
+        dx = dx + mm(du, om_k.T)
+        dom = mm(x.T, du)                                  # (D, S)
+
+        # ---- update term
+        inv_ls = 1.0 / ls_ref[k, :]                        # (D,)
+        xs = x * inv_ls[None, :]                           # (N, D)
+        zs = Z * inv_ls[None, :]                           # (M, D)
+        xn = jnp.sum(xs * xs, axis=1, keepdims=True)       # (N, 1)
+        zn = jnp.sum(zs * zs, axis=1, keepdims=True)       # (M, 1)
+        sq = xn + zn.T - 2.0 * mm(xs, zs.T)                # (N, M)
+        Kxz = var_k * jnp.exp(-0.5 * sq)                   # (N, M)
+        nu_k = nu_ref[k, :][:, None]                       # (M, 1)
+        f2 = mm(Kxz, nu_k)                                 # (N, 1)
+        dnu = mm(Kxz.T, gk)                                # (M, 1)
+        dKxz = gk * nu_k.T                                 # (N, M)
+        dsq = -0.5 * Kxz * dKxz                            # (N, M)
+        rowsum = jnp.sum(dsq, axis=1, keepdims=True)       # (N, 1)
+        colsum = jnp.sum(dsq, axis=0, keepdims=True)       # (1, M)
+        dxs = 2.0 * (rowsum * xs - mm(dsq, zs))            # (N, D)
+        dzs = 2.0 * (colsum.T * zs - mm(dsq.T, xs))        # (M, D)
+        dx = dx + dxs * inv_ls[None, :]
+        dZ = dZ + dzs * inv_ls[None, :]
+        dls = -(jnp.sum(dxs * xs, axis=0)
+                + jnp.sum(dzs * zs, axis=0)) * inv_ls      # (D,)
+
+        # ---- variance: f1 ~ sqrt(var), f2 ~ var
+        dvar = (jnp.sum(gk * f1) * (0.5 / var_k)
+                + jnp.sum(gk * f2) / var_k)
+
+        dom_ref[:, :, k] = dom
+        dph_ref[:, :, k] = dph
+        dw_ref[:, k:k + 1] = dw
+        dnu_ref[k:k + 1, :] = dnu.T
+        dls_ref[k:k + 1, :] = dls[None, :]
+        dvar_ref[:, k:k + 1] = dvar.reshape(1, 1)
+
+    dx_ref[:] = dx
+    dz_ref[:] = dZ
+
+
+def _pallas_backward(x, omega, phase, weights, Z, nu, ls, var, g,
+                     interpret=False):
+    N, D = x.shape
+    K = var.shape[0]
+    outs = (
+        jax.ShapeDtypeStruct(x.shape, x.dtype),        # dx
+        jax.ShapeDtypeStruct(omega.shape, x.dtype),    # domega
+        jax.ShapeDtypeStruct(phase.shape, x.dtype),    # dphase
+        jax.ShapeDtypeStruct(weights.shape, x.dtype),  # dweights
+        jax.ShapeDtypeStruct(Z.shape, x.dtype),        # dZ
+        jax.ShapeDtypeStruct(nu.shape, x.dtype),       # dnu
+        jax.ShapeDtypeStruct(ls.shape, x.dtype),       # dls
+        jax.ShapeDtypeStruct((1, K), x.dtype),         # dvar (row vector)
+    )
+    res = pl.pallas_call(
+        _pathwise_bwd_kernel,
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in outs),
+        interpret=interpret,
+    )(x, omega, phase, weights, Z, nu, ls, var, g)
+    return res[:-1] + (res[-1][0],)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
 def fused_pathwise_eval(x, omega, phase, weights, Z, nu, ls, var,
                         interpret=False):
-    """Pallas-fused forward, reference-graph backward. Same signature and
-    semantics as :func:`pathwise_eval_reference`."""
+    """Pallas-fused forward AND backward. Same signature and semantics as
+    :func:`pathwise_eval_reference` (which remains the parity oracle)."""
     return _pallas_forward(x, omega, phase, weights, Z, nu, ls, var,
                            interpret=interpret)
 
@@ -143,8 +246,12 @@ def _fwd(x, omega, phase, weights, Z, nu, ls, var, interpret):
 
 
 def _bwd(interpret, res, g):
-    _, vjp = jax.vjp(pathwise_eval_reference, *res)
-    return vjp(g)
+    # large N falls back to the reference-graph VJP (the backward kernel
+    # is single-block; training N is 20-ish)
+    if res[0].shape[0] > 512:
+        _, vjp = jax.vjp(pathwise_eval_reference, *res)
+        return vjp(g)
+    return _pallas_backward(*res, g, interpret=interpret)
 
 
 fused_pathwise_eval.defvjp(_fwd, _bwd)
