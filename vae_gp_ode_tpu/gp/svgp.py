@@ -64,10 +64,15 @@ class SVGPParams:
 @struct.dataclass
 class FnSample:
     """One pathwise posterior function sample (the reference's cache,
-    svpy.py:103-121): fixed RFF draw + pathwise-update coefficients."""
+    svpy.py:103-121): fixed RFF draw + pathwise-update coefficients.
+
+    df_G: DF kernel only - the per-draw ORFF contraction matrix
+    (2S*D, D) so the per-ODE-step prior eval is one matmul
+    (kernels.divfree.df_orff_contraction); None for RBF."""
 
     rff: rbfk.RFFState
     nu: jnp.ndarray
+    df_G: Optional[jnp.ndarray] = None
 
 
 def init_svgp_params(key, D_in, D_out, M, kernel='RBF', q_diag=False,
@@ -147,17 +152,18 @@ def draw_fn_sample(p: SVGPParams, key, S, noise: Optional[dict] = None
     if p.kernel_name == 'DF':
         rff = dfk.df_sample_rff(p.kernel, k_rff, S, p.D_in, p.D_out,
                                 noise=noise)
+        G = dfk.df_orff_contraction(p.kernel, rff)
         u = sample_inducing(p, k_u, epsilon=eps)
         Ku = dfk.df_gram(p.kernel, Z)
-        u_prior = dfk.df_rff_eval(p.kernel, rff, Z)
+        u_prior = dfk.df_rff_eval(p.kernel, rff, Z, G=G)
         nu = dfk.df_compute_nu(p.kernel, Ku, u_prior, u)
-    else:
-        rff = rbfk.rbf_sample_rff(p.kernel, k_rff, S, p.D_in, p.D_out,
-                                  noise=noise)
-        u = sample_inducing(p, k_u, epsilon=eps)
-        Ku = rbfk.rbf_gram(p.kernel, Z)
-        u_prior = rbfk.rbf_rff_eval(p.kernel, rff, Z)
-        nu = rbfk.rbf_compute_nu(p.kernel, Ku, u_prior, u)
+        return FnSample(rff=rff, nu=nu, df_G=G)
+    rff = rbfk.rbf_sample_rff(p.kernel, k_rff, S, p.D_in, p.D_out,
+                              noise=noise)
+    u = sample_inducing(p, k_u, epsilon=eps)
+    Ku = rbfk.rbf_gram(p.kernel, Z)
+    u_prior = rbfk.rbf_rff_eval(p.kernel, rff, Z)
+    nu = rbfk.rbf_compute_nu(p.kernel, Ku, u_prior, u)
     return FnSample(rff=rff, nu=nu)
 
 
@@ -170,7 +176,7 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
     implementation and the reverse-mode graph.
     """
     if p.kernel_name == 'DF':
-        f_prior = dfk.df_rff_eval(p.kernel, s.rff, x)
+        f_prior = dfk.df_rff_eval(p.kernel, s.rff, x, G=s.df_G)
         f_up = dfk.df_f_update(p.kernel, s.nu, x, p.inducing_loc)
         return f_prior + f_up
     if p.kernel.dimwise:

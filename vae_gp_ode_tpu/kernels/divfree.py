@@ -100,32 +100,67 @@ def df_sample_rff(p: RBFParams, key, S, D_in, D_out,
     return RFFState(omega=omega, phase=phase, weights=weights)
 
 
-def df_rff_eval(p: RBFParams, rff: RFFState, x):
+def df_orff_B(rff: RFFState, dtype=jnp.float32):
+    """B^*(omega) = |w| I - w w^T / |w| per feature -> (2S, D, D)
+    (reference kernels.py:327-337; cos and sin blocks share B)."""
+    D = rff.omega.shape[0]
+    om1 = jnp.transpose(rff.omega, (1, 0, 2))          # (S, D, D)
+    om2 = jnp.transpose(rff.omega, (1, 2, 0))          # (S, D, D)
+    norm = jnp.sqrt(jnp.sum(rff.omega ** 2, axis=0))[:, None]   # (S, 1, D)
+    ww = om1 @ om2                                     # (S, D, D)
+    eye = jnp.eye(D, dtype=dtype)
+    b_omega = norm * eye[None, :] - ww / norm          # (S, D, D)
+    return jnp.concatenate([b_omega, b_omega], axis=0)  # (2S, D, D)
+
+
+def df_orff_contraction(p: RBFParams, rff: RFFState):
+    """Precompute the per-draw ORFF contraction matrix G (2S*D, D):
+
+        f(n, d) = sum_{j,i} trig(n, j, i) * w(j, i) * B(j, i, d)
+                  * sqrt(var_d / S)
+                = [trig flat (N, 2S*D)] @ G
+
+    The reference (kernels.py:319-351) materialises the (N, 2S, D, D)
+    tensor and rebuilds B at EVERY solver step; B, w and var are fixed for
+    a given function draw, so the whole contraction collapses to one
+    (2S*D, D) matrix computed once per draw - the per-step prior eval
+    becomes a single MXU matmul. Exact same math (associativity only).
+    """
+    S = rff.omega.shape[1]
+    var = rbf_variance(p)                              # (D,)
+    B = df_orff_B(rff, rff.omega.dtype)                # (2S, D, D)
+    G = B * rff.weights[:, :, None]                    # (2S, D, D)
+    G = G * jnp.sqrt(var / S)[None, None, :]
+    twoSD = G.shape[0] * G.shape[1]
+    return G.reshape(twoSD, G.shape[2])                # (2S*D, D)
+
+
+def df_rff_eval(p: RBFParams, rff: RFFState, x, G=None):
     """Evaluate the operator-valued RFF prior sample at x -> (N, D).
 
     reference kernels.py:319-351 (ORFF for divergence-free fields,
     B(w) = |w|_2 I - w w^T / |w|_2 applied per feature; cos and sin
     feature blocks share B but use independent weights).
+
+    With `G` (the per-draw contraction from :func:`df_orff_contraction`)
+    the evaluation is trig-features + one matmul - the hot-path form used
+    inside ODE solves. Without it, the reference's direct computation.
     """
     D = x.shape[1]
-    var = rbf_variance(p)             # (D,)
     S = rff.omega.shape[1]
-
-    # B^*(omega): (S, D, D)
-    om1 = jnp.transpose(rff.omega, (1, 0, 2))          # (S, D, D)
-    om2 = jnp.transpose(rff.omega, (1, 2, 0))          # (S, D, D)
-    norm = jnp.sqrt(jnp.sum(rff.omega ** 2, axis=0))[:, None]   # (S, 1, D)
-    ww = om1 @ om2                                     # (S, D, D)
-    eye = jnp.eye(D, dtype=x.dtype)
-    b_omega = norm * eye[None, :] - ww / norm          # (S, D, D)
-    B = jnp.concatenate([b_omega, b_omega], axis=0)    # (2S, D, D)
 
     xo = jnp.einsum('nd,dfk->nfk', x, rff.omega)       # (N, S, D)
     phi_cos = jnp.cos(xo + rff.phase)
     phi_sin = jnp.sin(xo + rff.phase)
-    phi = jnp.concatenate([phi_cos, phi_sin], axis=1)[..., None]  # (N,2S,D,1)
-    phi = phi * B[None] * jnp.sqrt(var / S)            # (N, 2S, D, D)
-    return jnp.sum(phi * rff.weights[None, :, :, None], axis=(1, 2))  # (N, D)
+    trig = jnp.concatenate([phi_cos, phi_sin], axis=1)  # (N, 2S, D)
+
+    if G is not None:
+        return trig.reshape(x.shape[0], -1) @ G        # (N, D)
+
+    var = rbf_variance(p)                              # (D,)
+    B = df_orff_B(rff, x.dtype)                        # (2S, D, D)
+    phi = trig[..., None] * B[None] * jnp.sqrt(var / S)  # (N, 2S, D, D)
+    return jnp.sum(phi * rff.weights[None, :, :, None], axis=(1, 2))
 
 
 def df_compute_nu(p: RBFParams, Ku, u_prior, u):
