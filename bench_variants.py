@@ -22,14 +22,21 @@ parser.add_argument('--L', type=int, nargs='*', default=[1, 5])
 parser.add_argument('--steps', type=int, default=30)
 parser.add_argument('--reps', type=int, default=5)
 parser.add_argument('--variants', type=str, nargs='*',
-                    default=['xla', 'pallas', 'pallas_jnpbwd', 'fuseflow'])
+                    default=['xla', 'pallas', 'pallas_jnpbwd', 'fuseflow',
+                             'pallas_noremat', 'df'])
 parser.add_argument('--device', type=str, default='tpu')
+parser.add_argument('--batch', type=int, default=20)
+parser.add_argument('--T', type=int, default=16)
+parser.add_argument('--M', type=int, default=100)
+parser.add_argument('--S', type=int, default=256)
 
 BATCH, T, Q, M, S = 20, 16, 6, 100, 256
 
 
 def main():
+    global BATCH, T, M, S
     args = parser.parse_args()
+    BATCH, T, M, S = args.batch, args.T, args.M, args.S
     import jax
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
@@ -39,14 +46,15 @@ def main():
     from vae_gp_ode_tpu.ops import config as ops_config
     from vae_gp_ode_tpu.ops import pathwise
 
-    model, variables, gp = init_model(
-        jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
-        num_features=S, num_inducing=M, batch=BATCH, T=T, solver='euler')
     X = jax.random.uniform(jax.random.PRNGKey(1), (BATCH, T, 1, 28, 28))
     X = (X - 0.1307) / 0.3081
     key = jax.random.PRNGKey(2)
 
-    def measure(L):
+    def measure(L, remat=True, kernel='RBF'):
+        model, variables, gp = init_model(
+            jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
+            num_features=S, num_inducing=M, batch=BATCH, T=T,
+            solver='euler', remat=remat, kernel=kernel)
         state, tx = create_train_state(model, variables, gp, lr=1e-3)
         step = make_train_step(model, tx, num_observations=360.0,
                                eps_guard=True)
@@ -82,7 +90,12 @@ def main():
             ops_config.set_fuse_flow(True)
         try:
             for L in args.L:
-                sps = measure(L)
+                kw = {}
+                if name == 'pallas_noremat':
+                    kw['remat'] = False
+                elif name == 'df':
+                    kw['kernel'] = 'DF'
+                sps = measure(L, **kw)
                 print(json.dumps({
                     'variant': name, 'L': L,
                     'steps_per_sec': round(sps, 2),

@@ -98,6 +98,15 @@ parser.add_argument('--eps_guard', type=eval, default=True,
                          "out-of-box - which is why the reference ships a "
                          "NaN bailout. --eps_guard False restores the "
                          "exact reference objective (parity-tested)")
+parser.add_argument('--nan_policy', type=str, default='bailout',
+                    choices=['bailout', 'skip'],
+                    help="on a non-finite loss: 'bailout' reloads the last "
+                         "checkpoint, plots and exits (exact reference "
+                         "protocol, main.py:116-129,205-207); 'skip' "
+                         "discards the bad step's update (the in-scan "
+                         "guard already carries state through unchanged), "
+                         "logs it, and keeps training - resilient mode "
+                         "for long unattended runs")
 parser.add_argument('--plot_freq', type=int, default=1,
                     help="epochs between eval plots/checkpoints (the "
                          "reference plots+checkpoints every epoch; host-"
@@ -382,23 +391,38 @@ def main():
             batches = trainset.epoch_batches()
             state, metrics = train_epoch(state, batches, k_ep, L)
             losses = np.asarray(metrics['loss'])
-            if not np.isfinite(losses).all():
-                nan_bailout(ep)
+            finite = np.isfinite(losses)
+            if not finite.all():
+                if args.nan_policy == 'bailout':
+                    nan_bailout(ep)
+                logger.warning(
+                    'epoch %d: %d/%d steps produced a non-finite loss; '
+                    'their updates were discarded (--nan_policy skip)',
+                    ep, int((~finite).sum()), len(losses))
             nlls = np.asarray(metrics['nll'])
             kl_regs = np.asarray(metrics['kl_reg'])
             kl_us = np.asarray(metrics['kl_u'])
             var_now = np.asarray(rbf_variance(state.gp.kernel))
             for itr in range(len(losses)):
+                if not finite[itr]:
+                    continue       # skipped step: keep meters finite
                 record_iter(itr, float(losses[itr]), float(nlls[itr]),
                             float(kl_regs[itr]), float(kl_us[itr]),
                             var_now)
         else:
             for itr, minibatch in enumerate(trainset):
                 key, k_step = jax.random.split(key)
-                state, metrics = train_step(state, minibatch, k_step, L)
+                new_state, metrics = train_step(state, minibatch, k_step,
+                                                L)
                 loss = float(metrics['loss'])
-                if np.isnan(loss):
-                    nan_bailout(ep)
+                if not np.isfinite(loss):
+                    if args.nan_policy == 'bailout':
+                        nan_bailout(ep)
+                    logger.warning(
+                        'epoch %d iter %d: non-finite loss; update '
+                        'discarded (--nan_policy skip)', ep, itr)
+                    continue       # keep the pre-step state
+                state = new_state
                 record_iter(itr, loss, float(metrics['nll']),
                             float(metrics['kl_reg']),
                             float(metrics['kl_u']),

@@ -43,6 +43,7 @@ class ODEGPVAE(nn.Module):
     max_steps: int = 256
     num_features: int = 256  # S, RFF features per GP sample
     use_adjoint: bool = False  # continuous adjoint vs remat backprop
+    remat: bool = True       # rematerialise solver steps in reverse mode
 
     def setup(self):
         self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1)
@@ -93,7 +94,7 @@ class ODEGPVAE(nn.Module):
                 zt, nfe = flow_forward(
                     gp, s, z0, ts, order=self.order, solver=self.solver,
                     dense=self.dense, rtol=self.rtol, atol=self.atol,
-                    max_steps=self.max_steps)
+                    max_steps=self.max_steps, remat=self.remat)
             return zt, nfe
 
         ztL, nfes = jax.vmap(one)(keys)
@@ -136,7 +137,7 @@ def init_model(key, *, latent_dim=6, n_filt=8, order=1, frames=5, dt=0.1,
                solver='euler', dense=1, rtol=1e-6, atol=1e-6, max_steps=256,
                num_features=256, num_inducing=100, kernel='RBF',
                q_diag=False, dimwise=True, D_in=None, D_out=None,
-               batch=2, T=16, img=28, use_adjoint=False):
+               batch=2, T=16, img=28, use_adjoint=False, remat=True):
     """Build (model, variables, gp_params) - the equivalent of the
     reference's build_model factory (reference create_model.py:9-35).
 
@@ -151,7 +152,8 @@ def init_model(key, *, latent_dim=6, n_filt=8, order=1, frames=5, dt=0.1,
     model = ODEGPVAE(latent_dim=latent_dim, n_filt=n_filt, order=order,
                      frames=frames, dt=dt, solver=solver, dense=dense,
                      rtol=rtol, atol=atol, max_steps=max_steps,
-                     num_features=num_features, use_adjoint=use_adjoint)
+                     num_features=num_features, use_adjoint=use_adjoint,
+                     remat=remat)
 
     k_gp, k_vae, k_fwd = jax.random.split(key, 3)
     gp = init_svgp_params(k_gp, D_in=D_in, D_out=D_out, M=num_inducing,
