@@ -8,13 +8,22 @@ Variants:
   pallas_jnpbwd- Pallas fwd + reference-graph bwd (round-1 default),
                  selected via ops.pathwise fallback threshold monkeypatch
   fuseflow     - whole-trajectory fused kernel (set_fuse_flow(True))
+  pallas_noremat / df - remat off / DF kernel
 
-Usage: python bench_variants.py [--L 1 5] [--steps 30] [--reps 5]
-Prints one JSON line per (variant, L).
+Usage:
+  python bench_variants.py [--L 1 5] [--steps 30] [--reps 5]
+      one JSON line per (variant, L) - absolute numbers; remote-TPU
+      dispatch drifts +-30% across minutes, so compare only nearby lines.
+  python bench_variants.py --ab pallas fuseflow [--rounds 12]
+      interleaved pairwise comparison: alternates A/B measurement blocks
+      (~50 ms each) so the tunnel drift cancels, and reports the median
+      per-round B/A speed ratio - the number to trust for flipping
+      defaults (ratio > 1 means B is faster).
 """
 
 import argparse
 import json
+import statistics
 import time
 
 parser = argparse.ArgumentParser()
@@ -24,6 +33,10 @@ parser.add_argument('--reps', type=int, default=5)
 parser.add_argument('--variants', type=str, nargs='*',
                     default=['xla', 'pallas', 'pallas_jnpbwd', 'fuseflow',
                              'pallas_noremat', 'df'])
+parser.add_argument('--ab', type=str, nargs=2, default=None,
+                    help='two variant names: interleaved A/B comparison')
+parser.add_argument('--rounds', type=int, default=12,
+                    help='A/B alternation rounds (ab mode)')
 parser.add_argument('--device', type=str, default='tpu')
 parser.add_argument('--batch', type=int, default=20)
 parser.add_argument('--T', type=int, default=16)
@@ -50,62 +63,100 @@ def main():
     X = (X - 0.1307) / 0.3081
     key = jax.random.PRNGKey(2)
 
-    def measure(L, remat=True, kernel='RBF'):
-        model, variables, gp = init_model(
-            jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
-            num_features=S, num_inducing=M, batch=BATCH, T=T,
-            solver='euler', remat=remat, kernel=kernel)
-        state, tx = create_train_state(model, variables, gp, lr=1e-3)
-        step = make_train_step(model, tx, num_observations=360.0,
-                               eps_guard=True)
-        for i in range(3):
-            state, m = step(state, X, jax.random.fold_in(key, i), L)
-        jax.block_until_ready(m['loss'])
-        best = 0.0
-        for r in range(args.reps):
-            t0 = time.perf_counter()
-            for i in range(args.steps):
-                state, m = step(state, X, jax.random.fold_in(key, 99 + i),
-                                L)
-            jax.block_until_ready(m['loss'])
-            best = max(best, args.steps / (time.perf_counter() - t0))
-        return best
-
-    for name in args.variants:
+    def apply_variant(name):
+        """Set the global compute-path switches for `name`; returns
+        (model kwargs, restore callback). Switches matter at TRACE time
+        only - once a step is compiled it keeps its path."""
         ops_config.set_use_pallas(None)
         ops_config.set_fuse_flow(False)
-        orig_bwd = None
+        restore = lambda: None                            # noqa: E731
         if name == 'xla':
             ops_config.set_use_pallas(False)
         elif name == 'pallas_jnpbwd':
-            # route backward through the jnp reference graph (the round-1
-            # behaviour) by forcing the large-N fallback branch
-            orig_bwd = pathwise._bwd
-
             def jnp_bwd(interpret, res, g):
                 _, vjp = jax.vjp(pathwise.pathwise_eval_reference, *res)
                 return vjp(g)
             pathwise.fused_pathwise_eval.defvjp(pathwise._fwd, jnp_bwd)
+            restore = lambda: pathwise.fused_pathwise_eval.defvjp(  # noqa: E731
+                pathwise._fwd, pathwise._bwd)
         elif name == 'fuseflow':
             ops_config.set_fuse_flow(True)
+        kw = {}
+        if name == 'pallas_noremat':
+            kw['remat'] = False
+        elif name == 'df':
+            kw['kernel'] = 'DF'
+        return kw, restore
+
+    def build_runner(name, L):
+        """Compile + warm the train step for `name`; returns a zero-arg
+        block runner giving steps/sec for one `--steps`-step block."""
+        kw, restore = apply_variant(name)
         try:
-            for L in args.L:
-                kw = {}
-                if name == 'pallas_noremat':
-                    kw['remat'] = False
-                elif name == 'df':
-                    kw['kernel'] = 'DF'
-                sps = measure(L, **kw)
-                print(json.dumps({
-                    'variant': name, 'L': L,
-                    'steps_per_sec': round(sps, 2),
-                    'us_per_step': round(1e6 / sps, 1)}), flush=True)
+            model, variables, gp = init_model(
+                jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
+                num_features=S, num_inducing=M, batch=BATCH, T=T,
+                solver='euler', remat=kw.get('remat', True),
+                kernel=kw.get('kernel', 'RBF'))
+            state0, tx = create_train_state(model, variables, gp, lr=1e-3)
+            step = make_train_step(model, tx, num_observations=360.0,
+                                   eps_guard=True)
+            state = state0
+            for i in range(3):
+                state, m = step(state, X, jax.random.fold_in(key, i), L)
+            jax.block_until_ready(m['loss'])
         finally:
-            if orig_bwd is not None:
-                pathwise.fused_pathwise_eval.defvjp(pathwise._fwd,
-                                                    orig_bwd)
+            restore()
             ops_config.set_use_pallas(None)
             ops_config.set_fuse_flow(False)
+
+        box = {'state': state}
+
+        def run_block():
+            st = box['state']
+            t0 = time.perf_counter()
+            for i in range(args.steps):
+                st, m = step(st, X, jax.random.fold_in(key, 99 + i), L)
+            jax.block_until_ready(m['loss'])
+            dt = time.perf_counter() - t0
+            box['state'] = st
+            return args.steps / dt
+
+        return run_block
+
+    if args.ab:
+        a, b = args.ab
+        for L in args.L:
+            ra = build_runner(a, L)
+            rb = build_runner(b, L)
+            ra(), rb()                                    # touch both
+            ratios, a_sps, b_sps = [], [], []
+            for _ in range(args.rounds):
+                sa = ra()
+                sb = rb()
+                ratios.append(sb / sa)
+                a_sps.append(sa)
+                b_sps.append(sb)
+            print(json.dumps({
+                'ab': [a, b], 'L': L,
+                'median_ratio_b_over_a': round(
+                    statistics.median(ratios), 4),
+                'ratio_range': [round(min(ratios), 3),
+                                round(max(ratios), 3)],
+                f'{a}_best_sps': round(max(a_sps), 1),
+                f'{b}_best_sps': round(max(b_sps), 1)}), flush=True)
+        return
+
+    for name in args.variants:
+        for L in args.L:
+            run_block = build_runner(name, L)
+            best = 0.0
+            for r in range(args.reps):
+                best = max(best, run_block())
+            print(json.dumps({
+                'variant': name, 'L': L,
+                'steps_per_sec': round(best, 2),
+                'us_per_step': round(1e6 / best, 1)}), flush=True)
 
 
 if __name__ == '__main__':

@@ -249,3 +249,40 @@ def test_fused_eval_custom_vjp_end_to_end():
     for a, b in zip(g_f, g_r):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-5)
+
+
+def test_fused_euler_flow_vmapped_L_grads():
+    """The production usage: vmap over L function draws (per-L GP
+    operands, SHARED z0) through value+grad - the train step's exact
+    structure (models/odegpvae.py sample_trajectories). Pins both the
+    pallas_call vmap lifting and the packing VJP under batching."""
+    from vae_gp_ode_tpu.ops.flow_fused import (
+        fused_euler_flow, euler_flow_reference)
+    ks = jax.random.split(jax.random.PRNGKey(9), 8)
+    N, S, M, D, T, L = 4, 8, 6, 3, 5, 3
+    z0 = jax.random.normal(ks[0], (N, D)) * 0.5
+    omega = jax.random.normal(ks[1], (L, D, S, D))
+    phase = jax.random.uniform(ks[2], (L, 1, S, D)) * 6.28
+    weights = jax.random.normal(ks[3], (L, S, D))
+    Z = jax.random.normal(ks[4], (M, D))
+    nu = jax.random.normal(ks[5], (L, D, M)) * 0.1
+    ls = jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=2.0)
+    var = jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0)
+
+    def loss(flow_fn, z0, omega, phase, weights, Z, nu, ls, var):
+        zs = jax.vmap(
+            lambda om, ph, w, n: flow_fn(z0, om, ph, w, Z, n, ls, var),
+        )(omega, phase, weights, nu)            # (L, T, N, D)
+        return jnp.sum(zs ** 2)
+
+    fused = lambda *a: fused_euler_flow(*a, 0.1, T, 1, True)   # noqa: E731
+    ref = lambda *a: euler_flow_reference(*a, 0.1, T, 1)       # noqa: E731
+    args = (z0, omega, phase, weights, Z, nu, ls, var)
+    vf, gf = jax.value_and_grad(
+        lambda *a: loss(fused, *a), argnums=tuple(range(8)))(*args)
+    vr, gr = jax.value_and_grad(
+        lambda *a: loss(ref, *a), argnums=tuple(range(8)))(*args)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-4)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)

@@ -9,21 +9,27 @@ the state z never leaves vector registers/VMEM, and each output row is
 written as it is produced.
 
 MXU mapping: the per-output-dim structure (K dimwise lengthscales) is
-flattened into block-diagonal contraction matrices built once per
-trajectory, so each euler step is exactly five dense matmuls -
+flattened k-major so each euler step is five dense matmuls -
 
-    xo     = z @ omega_f          (N, K*S)   feature projection
-    f1     = cos(xo + phase) @ Ww (N, K)     block-diag feature weights
+    xo     = z @ omf              (N, K*S)   feature projection
+    f1     = (cos(xo+phf)*ws) @ B_S  (N, K)  block-sum over S features
     cross  = z @ Zb               (N, K*M)   per-dim-scaled inducing dots
-    xn_b   = (z*z) @ invls2_b     (N, K*M)   squared-norm broadcast
-    f2     = exp(-0.5 sq) @ Wnu   (N, K)     block-diag nu contraction
+    xn     = (z*z) @ il2          (N, K*M)   squared-norm broadcast
+    f2     = (exp(-0.5 sq)*nus) @ B_M (N, K) block-sum over M inducing
 
-- all shapes MXU-aligned up to padding, no per-k serialisation.
+where B_S (K*S, K) / B_M (K*M, K) are 0/1 block-indicator matrices built
+IN-KERNEL from iota (so the host-side operand packing is pure
+transpose/reshape/scale - no scatters, and its XLA VJP is equally cheap;
+the scatter-built block-diagonal weight matrices of the first version
+dominated the vmapped train step through their gather VJPs).
+
 Supports 1st-order (dz = f(z)) and 2nd-order (d(s,v) = (v, f(s,v)))
 latent ODEs with the dimwise-RBF kernel, and per-interval step sizes
-(dts (T-1,)) for non-uniform grids. Reverse mode = a hand-written Pallas
-discrete-adjoint backward kernel (see _make_bwd_kernel); the jnp
-packed_flow_reference is the parity oracle.
+(dts (T-1,)) for non-uniform grids. The L Monte-Carlo axis vmaps into the
+kernel grid (each grid program owns one function draw's trajectory).
+Reverse mode = a hand-written Pallas discrete-adjoint backward kernel
+(see _make_bwd_kernel); the jnp packed_flow_reference is the parity
+oracle.
 """
 
 import functools
@@ -64,20 +70,18 @@ def euler_flow_reference(z0, omega, phase, weights, Z, nu, ls, var, dt,
 
 
 def _pack_operands(omega, phase, weights, Z, nu, ls, var):
-    """Precompute the flattened/block-diagonal operands (traced XLA ops,
-    executed once per trajectory draw - negligible next to the solve)."""
+    """Flatten the per-output-dim operands k-major (traced XLA ops run
+    once per trajectory draw). Pure transpose/reshape/scale/repeat - no
+    scatters - so reverse mode through the packing is a handful of cheap
+    XLA ops."""
     D, S, K = omega.shape
     M = Z.shape[0]
-    dtype = omega.dtype
 
     # feature projection, k-major flattening: column k*S+s <- omega[:, s, k]
-    omega_f = jnp.transpose(omega, (0, 2, 1)).reshape(D, K * S)
-    phase_f = jnp.transpose(phase[0], (1, 0)).reshape(1, K * S)
-    # block-diag feature weights with sqrt(var_k / S) folded in
-    w_scaled = (weights * jnp.sqrt(var / S)).T.reshape(K * S)   # k-major
-    rows = jnp.arange(K * S)
-    cols = rows // S
-    Ww = jnp.zeros((K * S, K), dtype).at[rows, cols].set(w_scaled)
+    omf = jnp.transpose(omega, (0, 2, 1)).reshape(D, K * S)
+    phf = jnp.transpose(phase[0], (1, 0)).reshape(1, K * S)
+    # scaled feature weights (row vector, k-major): sqrt(var_k/S) folded in
+    ws = (weights * jnp.sqrt(var / S)).T.reshape(1, K * S)
 
     # inducing dots: column k*M+m <- Z[m, :] / ls[k, :]^2
     inv_ls2 = 1.0 / (ls * ls)                                   # (K, D)
@@ -85,41 +89,56 @@ def _pack_operands(omega, phase, weights, Z, nu, ls, var):
     Zb = jnp.transpose(Zb.reshape(K * M, D), (1, 0))            # (D, K*M)
     zn = jnp.sum((Z[None, :, :] / ls[:, None, :]) ** 2,
                  axis=2).reshape(1, K * M)                      # (1, K*M)
-    # broadcast matrix for xn: (z*z) @ invls2_b -> (N, K*M)
-    invls2_b = jnp.repeat(inv_ls2, M, axis=0).T                 # (D, K*M)
-    # block-diag nu contraction with var_k folded in
-    nu_scaled = (nu * var[:, None]).reshape(K * M)
-    rows_m = jnp.arange(K * M)
-    cols_m = rows_m // M
-    Wnu = jnp.zeros((K * M, K), dtype).at[rows_m, cols_m].set(nu_scaled)
+    # broadcast matrix for xn: (z*z) @ il2 -> (N, K*M)
+    il2 = jnp.repeat(inv_ls2, M, axis=0).T                      # (D, K*M)
+    # scaled nu (row vector, k-major) with var_k folded in
+    nus = (nu * var[:, None]).reshape(1, K * M)
 
-    return omega_f, phase_f, Ww, Zb, zn, invls2_b, Wnu
+    return omf, phf, ws, Zb, zn, il2, nus
 
 
-def _make_kernel(T, order, K):
-    def kernel(z0_ref, omf_ref, phf_ref, ww_ref, zb_ref, zn_ref,
-               il2_ref, wnu_ref, dts_ref, out_ref):
+def _block_sum_mask(blocks, size, dtype):
+    """(blocks*size, blocks) 0/1 indicator: column b sums block b."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (blocks * size, blocks), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (blocks * size, blocks), 1)
+    return (r // size == c).astype(dtype)
+
+
+def _expand_mask(blocks, size, dtype):
+    """(blocks, blocks*size) 0/1 indicator: row b broadcasts into block b
+    (the transpose of _block_sum_mask, built directly to avoid an
+    in-kernel transpose)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, (blocks, blocks * size), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (blocks, blocks * size), 1)
+    return (c // size == r).astype(dtype)
+
+
+def _make_kernel(T, order, K, S, M):
+    def kernel(z0_ref, omf_ref, phf_ref, ws_ref, zb_ref, zn_ref,
+               il2_ref, nus_ref, dts_ref, out_ref):
         omf = omf_ref[:]
         phf = phf_ref[:]
-        Ww = ww_ref[:]
+        ws = ws_ref[:]
         Zb = zb_ref[:]
         zn = zn_ref[:]
         il2 = il2_ref[:]
-        Wnu = wnu_ref[:]
+        nus = nus_ref[:]
+        f32 = omf.dtype
+        Bs = _block_sum_mask(K, S, f32)       # (K*S, K)
+        Bm = _block_sum_mask(K, M, f32)       # (K*M, K)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=_HI)
 
         def feval(z):
-            xo = jnp.dot(z, omf, preferred_element_type=jnp.float32,
-                         precision=_HI)                        # (N, K*S)
-            f1 = jnp.dot(jnp.cos(xo + phf), Ww,
-                         preferred_element_type=jnp.float32,
-                         precision=_HI)                        # (N, K)
-            cross = jnp.dot(z, Zb, preferred_element_type=jnp.float32,
-                            precision=_HI)                     # (N, K*M)
-            xn = jnp.dot(z * z, il2, preferred_element_type=jnp.float32,
-                         precision=_HI)                        # (N, K*M)
-            Kxz = jnp.exp(-0.5 * (xn + zn - 2.0 * cross))
-            f2 = jnp.dot(Kxz, Wnu, preferred_element_type=jnp.float32,
-                         precision=_HI)                        # (N, K)
+            xo = mm(z, omf)                              # (N, K*S)
+            phi = jnp.cos(xo + phf) * ws
+            f1 = mm(phi, Bs)                             # (N, K)
+            cross = mm(z, Zb)                            # (N, K*M)
+            xn = mm(z * z, il2)                          # (N, K*M)
+            G = jnp.exp(-0.5 * (xn + zn - 2.0 * cross)) * nus
+            f2 = mm(G, Bm)                               # (N, K)
             return f1 + f2
 
         def rhs(z):
@@ -141,19 +160,21 @@ def _make_kernel(T, order, K):
     return kernel
 
 
-def _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T, order,
+def _pallas_flow_packed(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T, order,
                         interpret=False):
     N, D = z0.shape
-    K = Ww.shape[1]
+    K = D // 2 if order == 2 else D
+    S = ws.shape[1] // K
+    M = nus.shape[1] // K
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
-        _make_kernel(T, order, K),
+        _make_kernel(T, order, K, S, M),
         out_shape=jax.ShapeDtypeStruct((T, N, D), z0.dtype),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts)
+    )(z0, omf, phf, ws, Zb, zn, il2, nus, dts)
 
 
 def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
@@ -167,18 +188,23 @@ def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
 # packed-level flow with a hand-written Pallas backward (discrete adjoint)
 # ---------------------------------------------------------------------------
 
-def packed_flow_reference(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
+def packed_flow_reference(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T,
                           order):
     """jnp mirror of the packed forward kernel (oracle for the backward)."""
-    K = Ww.shape[1]
+    D = z0.shape[1]
+    K = D // 2 if order == 2 else D
+    S = ws.shape[1] // K
+    M = nus.shape[1] // K
 
     def feval(z):
         xo = z @ omf
-        f1 = jnp.cos(xo + phf) @ Ww
+        phi = jnp.cos(xo + phf) * ws
+        f1 = phi.reshape(z.shape[0], K, S).sum(axis=2)
         cross = z @ Zb
         xn = (z * z) @ il2
-        Kxz = jnp.exp(-0.5 * (xn + zn - 2.0 * cross))
-        return f1 + Kxz @ Wnu
+        G = jnp.exp(-0.5 * (xn + zn - 2.0 * cross)) * nus
+        f2 = G.reshape(z.shape[0], K, M).sum(axis=2)
+        return f1 + f2
 
     def rhs(z):
         f = feval(z)
@@ -196,7 +222,7 @@ def packed_flow_reference(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
-def _make_bwd_kernel(T, order, K):
+def _make_bwd_kernel(T, order, K, S, M):
     """Discrete adjoint of the packed euler flow, one Pallas program.
 
     Walks t = T-2 .. 0, recomputing the step's forward intermediates from
@@ -205,27 +231,35 @@ def _make_bwd_kernel(T, order, K):
 
       g_t = zsbar[t] + g_{t+1} + dt * (d rhs/d z_t)^T g_{t+1}
       param_bar += dt * (d rhs/d param)^T g_{t+1}
+
+    Cotangents come out in the UNPACKED row-vector shapes (ws/nus/zn as
+    (1, K*S)/(1, K*M)) so the outer packing VJP is scatter-free.
     """
 
-    def kernel(zs_ref, zsbar_ref, omf_ref, phf_ref, ww_ref, zb_ref,
-               zn_ref, il2_ref, wnu_ref, dts_ref,
-               z0bar_ref, omfbar_ref, phfbar_ref, wwbar_ref, zbbar_ref,
-               znbar_ref, il2bar_ref, wnubar_ref, dtsbar_ref):
+    def kernel(zs_ref, zsbar_ref, omf_ref, phf_ref, ws_ref, zb_ref,
+               zn_ref, il2_ref, nus_ref, dts_ref,
+               z0bar_ref, omfbar_ref, phfbar_ref, wsbar_ref, zbbar_ref,
+               znbar_ref, il2bar_ref, nusbar_ref, dtsbar_ref):
         omf = omf_ref[:]
         phf = phf_ref[:]
-        Ww = ww_ref[:]
+        ws = ws_ref[:]
         Zb = zb_ref[:]
         zn = zn_ref[:]
         il2 = il2_ref[:]
-        Wnu = wnu_ref[:]
+        nus = nus_ref[:]
+        f32 = omf.dtype
+        Bs = _block_sum_mask(K, S, f32)       # (K*S, K)
+        Bm = _block_sum_mask(K, M, f32)       # (K*M, K)
+        Es = _expand_mask(K, S, f32)          # (K, K*S)
+        Em = _expand_mask(K, M, f32)          # (K, K*M)
 
         omfbar_ref[:] = jnp.zeros_like(omfbar_ref)
         phfbar_ref[:] = jnp.zeros_like(phfbar_ref)
-        wwbar_ref[:] = jnp.zeros_like(wwbar_ref)
+        wsbar_ref[:] = jnp.zeros_like(wsbar_ref)
         zbbar_ref[:] = jnp.zeros_like(zbbar_ref)
         znbar_ref[:] = jnp.zeros_like(znbar_ref)
         il2bar_ref[:] = jnp.zeros_like(il2bar_ref)
-        wnubar_ref[:] = jnp.zeros_like(wnubar_ref)
+        nusbar_ref[:] = jnp.zeros_like(nusbar_ref)
 
         def mm(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32,
@@ -239,11 +273,13 @@ def _make_bwd_kernel(T, order, K):
             xo = mm(z, omf)                     # (N, KS)
             cosv = jnp.cos(xo + phf)
             sinv = jnp.sin(xo + phf)
-            f1 = mm(cosv, Ww)                   # (N, K)
+            phi = cosv * ws
+            f1 = mm(phi, Bs)                    # (N, K)
             cross = mm(z, Zb)                   # (N, KM)
             xn = mm(z * z, il2)                 # (N, KM)
             Kxz = jnp.exp(-0.5 * (xn + zn - 2.0 * cross))
-            f2 = mm(Kxz, Wnu)                   # (N, K)
+            G = Kxz * nus
+            f2 = mm(G, Bm)                      # (N, K)
             f = f1 + f2
 
             if order == 2:
@@ -257,16 +293,18 @@ def _make_bwd_kernel(T, order, K):
                 fbar = dt * g                   # (N, K)
 
             # --- vjp through feval (input cotangent into z, param accums)
-            Kxzbar = mm(fbar, Wnu.T)            # (N, KM)
-            wnubar_ref[:] += mm(Kxz.T, fbar)
+            Gbar = mm(fbar, Em)                 # (N, KM)
+            nusbar_ref[:] += jnp.sum(Kxz * Gbar, axis=0, keepdims=True)
+            Kxzbar = nus * Gbar
             sqbar = -0.5 * Kxz * Kxzbar         # (N, KM)
             znbar_ref[:] += jnp.sum(sqbar, axis=0, keepdims=True)
             il2bar_ref[:] += mm((z * z).T, sqbar)
             zbbar_ref[:] += mm(z.T, -2.0 * sqbar)
             zvec = 2.0 * z * mm(sqbar, il2.T) + mm(-2.0 * sqbar, Zb.T)
 
-            cosbar = mm(fbar, Ww.T)             # (N, KS)
-            wwbar_ref[:] += mm(cosv.T, fbar)
+            phibar = mm(fbar, Es)               # (N, KS)
+            wsbar_ref[:] += jnp.sum(cosv * phibar, axis=0, keepdims=True)
+            cosbar = ws * phibar
             xobar = -sinv * cosbar              # (N, KS)
             phfbar_ref[:] += jnp.sum(xobar, axis=0, keepdims=True)
             omfbar_ref[:] += mm(z.T, xobar)
@@ -285,59 +323,59 @@ def _make_bwd_kernel(T, order, K):
     return kernel
 
 
-def _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
+def _pallas_flow_bwd(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus, dts, T,
                      order, interpret=False):
     N, D = zs.shape[1:]
-    K = Ww.shape[1]
-    KS = Ww.shape[0]
-    KM = Wnu.shape[0]
+    K = D // 2 if order == 2 else D
+    KS = ws.shape[1]
+    KM = nus.shape[1]
     f32 = zs.dtype
     out_shapes = (
         jax.ShapeDtypeStruct((N, D), f32),       # z0bar
         jax.ShapeDtypeStruct((D, KS), f32),      # omfbar
         jax.ShapeDtypeStruct((1, KS), f32),      # phfbar
-        jax.ShapeDtypeStruct((KS, K), f32),      # wwbar
+        jax.ShapeDtypeStruct((1, KS), f32),      # wsbar
         jax.ShapeDtypeStruct((D, KM), f32),      # zbbar
         jax.ShapeDtypeStruct((1, KM), f32),      # znbar
         jax.ShapeDtypeStruct((D, KM), f32),      # il2bar
-        jax.ShapeDtypeStruct((KM, K), f32),      # wnubar
+        jax.ShapeDtypeStruct((1, KM), f32),      # nusbar
         jax.ShapeDtypeStruct((T - 1, 1), f32),   # dtsbar
     )
     in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
         pl.BlockSpec(memory_space=pltpu.SMEM)]
     return pl.pallas_call(
-        _make_bwd_kernel(T, order, Ww.shape[1]),
+        _make_bwd_kernel(T, order, K, KS // K, KM // K),
         out_shape=out_shapes,
         in_specs=in_specs,
         out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
                         for _ in out_shapes),
         interpret=interpret,
-    )(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu, dts)
+    )(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus, dts)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def packed_euler_flow(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T, order=1,
+def packed_euler_flow(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T, order=1,
                       interpret=False):
     """Euler GP-ODE flow over packed operands with per-interval step
     sizes dts (T-1,): Pallas forward AND Pallas discrete-adjoint backward
     (both single kernels)."""
-    return _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
+    return _pallas_flow_packed(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T,
                                order, interpret=interpret)
 
 
-def _pk_fwd(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T, order, interpret):
-    zs = _pallas_flow_packed(z0, omf, phf, Ww, Zb, zn, il2, Wnu, dts, T,
+def _pk_fwd(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T, order, interpret):
+    zs = _pallas_flow_packed(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T,
                              order, interpret=interpret)
-    return zs, (zs, omf, phf, Ww, Zb, zn, il2, Wnu, dts)
+    return zs, (zs, omf, phf, ws, Zb, zn, il2, nus, dts)
 
 
 def _pk_bwd(T, order, interpret, res, zsbar):
-    zs, omf, phf, Ww, Zb, zn, il2, Wnu, dts = res
-    outs = _pallas_flow_bwd(zs, zsbar, omf, phf, Ww, Zb, zn, il2, Wnu,
+    zs, omf, phf, ws, Zb, zn, il2, nus, dts = res
+    outs = _pallas_flow_bwd(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus,
                             dts, T, order, interpret=interpret)
-    (z0bar, omfbar, phfbar, wwbar, zbbar, znbar, il2bar, wnubar,
+    (z0bar, omfbar, phfbar, wsbar, zbbar, znbar, il2bar, nusbar,
      dtsbar) = outs
-    return (z0bar, omfbar, phfbar, wwbar, zbbar, znbar, il2bar, wnubar,
+    return (z0bar, omfbar, phfbar, wsbar, zbbar, znbar, il2bar, nusbar,
             dtsbar[:, 0])
 
 
@@ -350,7 +388,7 @@ def fused_euler_flow(z0, omega, phase, weights, Z, nu, ls, var, dt,
 
     T and order are static; dt may be traced. Reverse mode: the packed
     flow has a hand-written Pallas discrete-adjoint backward; the operand
-    packing (gathers/scales) is differentiated by XLA.
+    packing (transposes/reshapes/scales only) is differentiated by XLA.
     """
     return _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T,
                         order, interpret=interpret)
