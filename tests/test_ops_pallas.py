@@ -286,3 +286,104 @@ def test_fused_euler_flow_vmapped_L_grads():
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def _df_operands(key, N=5, S=8, M=7, D=4):
+    ks = jax.random.split(key, 8)
+    x = jax.random.normal(ks[0], (N, D)) * 0.5
+    omf = jax.random.normal(ks[1], (D, S * D))
+    phf = jax.random.uniform(ks[2], (1, S * D)) * 6.28
+    G = jax.random.normal(ks[3], (2 * S * D, D)) * 0.3
+    Z = jax.random.normal(ks[4], (M, D))
+    nur = jax.random.normal(ks[5], (M, D)) * 0.1
+    ls2 = jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=3.0)
+    var = jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0)
+    return x, omf, phf, G, Z, nur, ls2, var
+
+
+def test_df_pathwise_reference_matches_divfree():
+    """The fused-kernel oracle must equal the kernels.divfree computation
+    (df_rff_eval with the per-draw G + df_f_update) exactly."""
+    from vae_gp_ode_tpu.ops.df_pathwise import df_pathwise_reference
+    from vae_gp_ode_tpu.kernels import divfree as dfk
+    from vae_gp_ode_tpu.kernels.rbf import RBFParams, RFFState
+    from vae_gp_ode_tpu.core.transforms import invsoftplus
+
+    N, S, M, D = 5, 8, 7, 4
+    x, omf, phf, G, Z, nur, ls2, var = _df_operands(
+        jax.random.PRNGKey(3), N, S, M, D)
+    p = RBFParams(
+        unconstrained_lengthscales=invsoftplus(jnp.sqrt(ls2)),
+        unconstrained_variance=invsoftplus(var), dimwise=True)
+    rff = RFFState(omega=omf.reshape(D, S, D),
+                   phase=phf.reshape(1, S, D),
+                   weights=jnp.zeros((2 * S, D)))
+    out = df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
+    ref = (dfk.df_rff_eval(p, rff, x, G=G)
+           + dfk.df_f_update(p, nur.reshape(-1, 1), x, Z))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fused_df_pathwise_matches_reference():
+    from vae_gp_ode_tpu.ops.df_pathwise import (
+        fused_df_pathwise_eval, df_pathwise_reference)
+    args = _df_operands(jax.random.PRNGKey(4))
+    out = fused_df_pathwise_eval(*args, True)
+    ref = df_pathwise_reference(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_fused_df_pathwise_grads_match_reference():
+    from vae_gp_ode_tpu.ops.df_pathwise import (
+        fused_df_pathwise_eval, df_pathwise_reference)
+    args = _df_operands(jax.random.PRNGKey(5))
+
+    def loss(fn, *a):
+        out = fn(*a)
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+    gf = jax.grad(lambda *a: loss(
+        lambda *b: fused_df_pathwise_eval(*b, True), *a),
+        argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *a: loss(df_pathwise_reference, *a),
+                  argnums=tuple(range(8)))(*args)
+    names = ['x', 'omf', 'phf', 'G', 'Z', 'nur', 'ls2', 'var']
+    for n, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5, err_msg=n)
+
+
+def test_df_fn_eval_pallas_dispatch_matches_jnp():
+    """fn_eval with kernel DF must give identical values and fn-level
+    grads through the Pallas dispatch (set_use_pallas(True), interpret on
+    CPU) and the jnp path."""
+    from vae_gp_ode_tpu.gp.svgp import (
+        init_svgp_params, draw_fn_sample, fn_eval)
+    from vae_gp_ode_tpu.ops import config as ops_config
+
+    key = jax.random.PRNGKey(6)
+    D = 4
+    gp = init_svgp_params(key, D_in=D, D_out=D, M=6, kernel='DF')
+    s = draw_fn_sample(gp, key, 8)
+    x = jax.random.normal(jax.random.PRNGKey(7), (5, D)) * 0.5
+
+    def loss(gp, x):
+        return jnp.sum(fn_eval(gp, s, x) ** 2)
+
+    try:
+        ops_config.set_use_pallas(True)
+        vf, gf = jax.value_and_grad(loss, argnums=(0, 1))(gp, x)
+    finally:
+        ops_config.set_use_pallas(None)
+    ops_config.set_use_pallas(False)
+    try:
+        vr, gr = jax.value_and_grad(loss, argnums=(0, 1))(gp, x)
+    finally:
+        ops_config.set_use_pallas(None)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(gf),
+                    jax.tree_util.tree_leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)

@@ -1,0 +1,271 @@
+"""Fused pathwise evaluation for the divergence-free kernel.
+
+The DF per-ODE-step eval (SURVEY.md section 3.1 hot loop with
+`--kernel DF`, the paper's headline "informative prior") is
+
+    f(x) = ORFF_prior(x) + K(x, Z) nu          (reference svpy.py:123-142,
+                                                kernels.py:319-393)
+
+where K(x, Z) is the matrix-valued gram: for every output-dim pair (j, i)
+a separate RBF envelope exp(-r^2 / (2 ls2[j,i])) modulates a Hessian
+structure term (reference kernels.py:265-303). The jnp path materialises
+(N, M, D, D) tensors through ~25 XLA ops per solver step; this kernel
+keeps everything in VMEM and walks the D*D pairs as a static loop of
+(N, M) vector ops - with the prior's trig features + the per-draw ORFF
+contraction G (kernels/divfree.py df_orff_contraction) as three MXU
+matmuls.
+
+Index convention (matches kernels/divfree.py df_gram(Z, x) exactly):
+
+    f_up[n, i] = sum_j (var[i] / ls2[j, i]) * sum_m E_ji[n, m] *
+                 ( d_j[n,m] d_i[n,m] / ls2[j,i]
+                   + ((D-1) - sq[n,m] / ls2[j,i]) * delta_ji ) * nur[m, j]
+
+    E_ji[n, m] = exp(-sq[n, m] / (2 ls2[j, i]))
+    d_k[n, m]  = x[n, k] - Z[m, k],  sq = |x_n - Z_m|^2
+
+Z and nu enter the kernel TRANSPOSED ((D, M) row-sliced layouts) so every
+in-kernel broadcast is a clean (1, M)-row slice; the wrapper owns the
+(cheap, trivially-differentiable) transposes. Reverse mode is a
+hand-written Pallas VJP (same recompute-in-VMEM strategy as
+ops/pathwise.py); `df_pathwise_reference` is the parity oracle against
+kernels.divfree.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var):
+    """jnp reference with the kernel's operand layout.
+
+    x (N, D); omf (D, S*D) = omega.reshape; phf (1, S*D) = phase.reshape;
+    G (2*S*D, D) from df_orff_contraction; Z (M, D); nur (M, D) = nu
+    reshaped m-major; ls2 (D, D) = lengthscales**2; var (D,).
+    Returns f (N, D). Semantics identical to
+    divfree.df_rff_eval(..., G=G) + divfree.df_f_update(...).
+    """
+    D = x.shape[1]
+
+    xo = x @ omf                                        # (N, S*D)
+    trig = jnp.concatenate(
+        [jnp.cos(xo + phf), jnp.sin(xo + phf)], axis=1)  # (N, 2*S*D)
+    f_prior = trig @ G                                   # (N, D)
+
+    sq = (jnp.sum(x * x, axis=1)[:, None]
+          + jnp.sum(Z * Z, axis=1)[None, :]
+          - 2.0 * x @ Z.T)                               # (N, M)
+    d = x.T[:, :, None] - Z.T[:, None, :]                # (D, N, M)
+    inv = 1.0 / ls2                                      # (D, D)
+    E = jnp.exp(-0.5 * sq[None, None] * inv[:, :, None, None])  # (D,D,N,M)
+    base = (d[:, None] * d[None, :]                      # d_j d_i
+            * inv[:, :, None, None]
+            + ((D - 1.0) - sq[None, None] * inv[:, :, None, None])
+            * jnp.eye(D, dtype=x.dtype)[:, :, None, None])
+    coef = (var[None, :] * inv)[:, :, None, None]        # var_i / ls2_ji
+    f_up = jnp.einsum('jinm,mj->ni', E * base * coef, nur)
+    return f_prior + f_up
+
+
+def _make_fwd_kernel(D, SD):
+    def kernel(x_ref, omf_ref, phf_ref, g_ref, zt_ref, nurt_ref, ls2_ref,
+               var_ref, out_ref):
+        x = x_ref[:]                        # (N, D)
+        Zt = zt_ref[:]                      # (D, M)
+        G = g_ref[:]                        # (2SD, D)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=_HI)
+
+        # ---- ORFF prior: trig features + contraction matmuls
+        xo = mm(x, omf_ref[:]) + phf_ref[:]              # (N, SD)
+        f = mm(jnp.cos(xo), G[:SD]) + mm(jnp.sin(xo), G[SD:])
+
+        # ---- matrix-valued pathwise update
+        sq = (jnp.sum(x * x, axis=1, keepdims=True)
+              + jnp.sum(Zt * Zt, axis=0, keepdims=True)
+              - 2.0 * mm(x, Zt))                         # (N, M)
+        ds = [x[:, k:k + 1] - Zt[k:k + 1, :] for k in range(D)]
+        cols = []
+        for i in range(D):
+            var_i = var_ref[0, i]
+            acc = None
+            for j in range(D):
+                inv = 1.0 / ls2_ref[j, i]
+                E = jnp.exp(sq * (-0.5 * inv))           # (N, M)
+                base = ds[j] * ds[i] * inv
+                if i == j:
+                    base = base + ((D - 1.0) - sq * inv)
+                contrib = E * base * (var_i * inv)       # (N, M)
+                term = jnp.sum(contrib * nurt_ref[j:j + 1, :],
+                               axis=1, keepdims=True)    # (N, 1)
+                acc = term if acc is None else acc + term
+            cols.append(acc)
+        out_ref[:] = f + jnp.concatenate(cols, axis=1)
+
+    return kernel
+
+
+def _pallas_forward(x, omf, phf, G, Z, nur, ls2, var, interpret=False):
+    N, D = x.shape
+    SD = omf.shape[1]
+    return pl.pallas_call(
+        _make_fwd_kernel(D, SD),
+        out_shape=jax.ShapeDtypeStruct((N, D), x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, omf, phf, G, Z.T, nur.T, ls2, var.reshape(1, -1))
+
+
+def _make_bwd_kernel(D, SD):
+    def kernel(x_ref, omf_ref, phf_ref, g_ref, zt_ref, nurt_ref, ls2_ref,
+               var_ref, gout_ref,
+               dx_ref, domf_ref, dphf_ref, dg_ref, dzt_ref, dnurt_ref,
+               dls2_ref, dvar_ref):
+        x = x_ref[:]                        # (N, D)
+        Zt = zt_ref[:]                      # (D, M)
+        G = g_ref[:]                        # (2SD, D)
+        gout = gout_ref[:]                  # (N, D)
+
+        def mm(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                           precision=_HI)
+
+        # ---- prior backward (recompute trig)
+        omf = omf_ref[:]
+        xo = mm(x, omf) + phf_ref[:]                     # (N, SD)
+        cosv = jnp.cos(xo)
+        sinv = jnp.sin(xo)
+        dg_ref[pl.ds(0, SD)] = mm(cosv.T, gout)
+        dg_ref[pl.ds(SD, SD)] = mm(sinv.T, gout)
+        dxo = (-sinv * mm(gout, G[:SD].T)
+               + cosv * mm(gout, G[SD:].T))              # (N, SD)
+        dphf_ref[:] = jnp.sum(dxo, axis=0, keepdims=True)
+        domf_ref[:] = mm(x.T, dxo)
+        dx = mm(dxo, omf.T)                              # (N, D)
+
+        # ---- update backward (recompute per-pair intermediates)
+        sq = (jnp.sum(x * x, axis=1, keepdims=True)
+              + jnp.sum(Zt * Zt, axis=0, keepdims=True)
+              - 2.0 * mm(x, Zt))                         # (N, M)
+        ds = [x[:, k:k + 1] - Zt[k:k + 1, :] for k in range(D)]
+
+        sqbar = jnp.zeros_like(sq)
+        dsbar = [jnp.zeros_like(sq) for _ in range(D)]
+        dnur_rows = [jnp.zeros_like(sq[:1, :]) for _ in range(D)]
+        for i in range(D):
+            gi = gout[:, i:i + 1]                        # (N, 1)
+            var_i = var_ref[0, i]
+            dvar_i = jnp.zeros((), x.dtype)
+            for j in range(D):
+                inv = 1.0 / ls2_ref[j, i]
+                E = jnp.exp(sq * (-0.5 * inv))           # (N, M)
+                dji = ds[j] * ds[i]
+                base = dji * inv
+                if i == j:
+                    base = base + ((D - 1.0) - sq * inv)
+                c1 = var_i * inv
+                contrib = E * base * c1                  # (N, M)
+                # out_i = sum_m contrib * nur[m, j]
+                dcontrib = gi * nurt_ref[j:j + 1, :]     # (N, M)
+                dnur_rows[j] = dnur_rows[j] + jnp.sum(
+                    contrib * gi, axis=0, keepdims=True)  # (1, M)
+                Ebar = dcontrib * base * c1
+                basebar = dcontrib * E * c1
+                c1bar = jnp.sum(dcontrib * E * base)
+                # E = exp(-0.5 inv sq)
+                sqbar = sqbar + Ebar * E * (-0.5 * inv)
+                invbar = jnp.sum(Ebar * E * sq) * (-0.5)
+                # base = d_j d_i inv (+ delta_ji ((D-1) - sq inv))
+                dsbar[j] = dsbar[j] + basebar * ds[i] * inv
+                dsbar[i] = dsbar[i] + basebar * ds[j] * inv
+                invbar += jnp.sum(basebar * dji)
+                if i == j:
+                    sqbar = sqbar - basebar * inv
+                    invbar += jnp.sum(-basebar * sq)
+                # c1 = var_i * inv
+                dvar_i += c1bar * inv
+                invbar += c1bar * var_i
+                # inv = 1 / ls2[j, i]
+                dls2_ref[j:j + 1, i:i + 1] = (
+                    -invbar * inv * inv).reshape(1, 1)
+            dvar_ref[0:1, i:i + 1] = dvar_i.reshape(1, 1)
+
+        # ds_k[n, m] = x[n, k] - Zt[k, m]
+        dx_ds = jnp.concatenate(
+            [jnp.sum(dsbar[k], axis=1, keepdims=True) for k in range(D)],
+            axis=1)                                      # (N, D)
+        dzt_ds = jnp.concatenate(
+            [-jnp.sum(dsbar[k], axis=0, keepdims=True) for k in range(D)],
+            axis=0)                                      # (D, M)
+        # sq = |x|^2 + |Zt cols|^2 - 2 x Zt
+        dx_ref[:] = (dx + dx_ds
+                     + 2.0 * (jnp.sum(sqbar, axis=1, keepdims=True) * x
+                              - mm(sqbar, Zt.T)))
+        dzt_ref[:] = (dzt_ds
+                      + 2.0 * (jnp.sum(sqbar, axis=0, keepdims=True) * Zt
+                               - mm(x.T, sqbar)))
+        dnurt_ref[:] = jnp.concatenate(dnur_rows, axis=0)  # (D, M)
+
+    return kernel
+
+
+def _pallas_backward(x, omf, phf, G, Z, nur, ls2, var, gout,
+                     interpret=False):
+    N, D = x.shape
+    SD = omf.shape[1]
+    M = Z.shape[0]
+    f32 = x.dtype
+    outs = (
+        jax.ShapeDtypeStruct(x.shape, f32),      # dx
+        jax.ShapeDtypeStruct(omf.shape, f32),    # domf
+        jax.ShapeDtypeStruct(phf.shape, f32),    # dphf
+        jax.ShapeDtypeStruct(G.shape, f32),      # dG
+        jax.ShapeDtypeStruct((D, M), f32),       # dZt
+        jax.ShapeDtypeStruct((D, M), f32),       # dnurT
+        jax.ShapeDtypeStruct(ls2.shape, f32),    # dls2
+        jax.ShapeDtypeStruct((1, D), f32),       # dvar
+    )
+    res = pl.pallas_call(
+        _make_bwd_kernel(D, SD),
+        out_shape=outs,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 9,
+        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                        for _ in outs),
+        interpret=interpret,
+    )(x, omf, phf, G, Z.T, nur.T, ls2, var.reshape(1, -1), gout)
+    (dx, domf, dphf, dG, dZt, dnurT, dls2, dvar) = res
+    return dx, domf, dphf, dG, dZt.T, dnurT.T, dls2, dvar[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_df_pathwise_eval(x, omf, phf, G, Z, nur, ls2, var,
+                           interpret=False):
+    """Pallas-fused forward AND backward for the DF pathwise eval. Same
+    semantics as :func:`df_pathwise_reference` (the parity oracle)."""
+    return _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
+                           interpret=interpret)
+
+
+def _fwd(x, omf, phf, G, Z, nur, ls2, var, interpret):
+    out = _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
+                          interpret=interpret)
+    return out, (x, omf, phf, G, Z, nur, ls2, var)
+
+
+def _bwd(interpret, res, g):
+    if res[0].shape[0] > 512:
+        _, vjp = jax.vjp(df_pathwise_reference, *res)
+        return vjp(g)
+    return _pallas_backward(*res, g, interpret=interpret)
+
+
+fused_df_pathwise_eval.defvjp(_fwd, _bwd)
