@@ -86,6 +86,10 @@ def main():
             kw['remat'] = False
         elif name == 'df':
             kw['kernel'] = 'DF'
+        elif name == 'df_jnp':
+            # DF through the jnp/XLA graph (pre-fused-kernel behaviour)
+            ops_config.set_use_pallas(False)
+            kw['kernel'] = 'DF'
         return kw, restore
 
     def build_runner(name, L):

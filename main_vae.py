@@ -43,6 +43,11 @@ parser.add_argument('--eps_guard', type=eval, default=True,
                          "reference's dead except-branch; guards against "
                          "log(0) on saturated sigmoids). False = the "
                          "reference's live unguarded objective (vae.py:147)")
+parser.add_argument('--fast_epoch', type=eval, default=True,
+                    help='scan whole epochs on device (one dispatch per '
+                         'epoch instead of per step; drops a ragged tail '
+                         'batch when N %% batch != 0). False = the '
+                         'per-step reference loop')
 
 
 def main():
@@ -112,8 +117,7 @@ def main():
               dec_vars.get('batch_stats', {}))
     opt_state = tx.init(params)
 
-    @jax.jit
-    def train_step(params, bstats, opt_state, x_nchw, k):
+    def step_core(params, bstats, opt_state, x_nchw, k):
         """One VAE ELBO step (reference main_vae.py:91-105):
         loss = KL(q(z)||N(0,I)) - Bernoulli lhood (pretrain: no L axis)."""
         x = jnp.transpose(x_nchw, (0, 2, 3, 1))   # NHWC
@@ -140,6 +144,26 @@ def main():
         params2 = optax.apply_updates(params, updates)
         return params2, (ebs, dbs), opt_state2, loss, lh, klr
 
+    train_step = jax.jit(step_core)
+
+    @jax.jit
+    def train_epoch(params, bstats, opt_state, Xep, k):
+        """One whole epoch as a single on-device lax.scan over the
+        stacked batches (I, B, 1, 28, 28) - one dispatch per epoch
+        instead of per step (the remote-TPU round trip otherwise
+        dominates at these sizes; same rationale as
+        training/trainer.make_train_epoch)."""
+        def body(carry, x):
+            params, bstats, opt_state, k = carry
+            k, ks = jax.random.split(k)
+            params, bstats, opt_state, loss, lh, klr = step_core(
+                params, bstats, opt_state, x, ks)
+            return (params, bstats, opt_state, k), (loss, lh, klr)
+
+        (params, bstats, opt_state, _), trace = jax.lax.scan(
+            body, (params, bstats, opt_state, k), Xep)
+        return params, bstats, opt_state, trace
+
     elbo_meter = CachedRunningAverageMeter(10)
     nll_meter = CachedRunningAverageMeter(10)
     reg_kl_meter = CachedRunningAverageMeter(10)
@@ -148,23 +172,38 @@ def main():
     logger.info('--------------- VAE Train ---------------')
     begin = time.time()
     global_itr = 0
+
+    def record(itr, loss, lh, klr):
+        nonlocal global_itr
+        elbo_meter.update(float(loss), global_itr)
+        nll_meter.update(-float(lh), global_itr)
+        reg_kl_meter.update(float(klr), global_itr)
+        time_meter.update(time.time() - begin, global_itr)
+        global_itr += 1
+        if itr % args.log_freq == 0:
+            logger.info(
+                'Iter:%-3d | Time %s | elbo %8.2f(%8.2f) | '
+                'nlhood:%8.2f(%8.2f) | kl_reg:%-8.2f(%-8.2f)',
+                itr, timedelta(seconds=int(time_meter.val)),
+                elbo_meter.val, elbo_meter.avg, nll_meter.val,
+                nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg)
+
     for ep in range(args.vae_epochs):
-        for itr, (x, _) in enumerate(train_loader):
+        if args.fast_epoch:
+            Xep = train_loader.epoch_batches()
             key, k_s = jax.random.split(key)
-            params, bstats, opt_state, loss, lh, klr = train_step(
-                params, bstats, opt_state, x, k_s)
-            elbo_meter.update(float(loss), global_itr)
-            nll_meter.update(-float(lh), global_itr)
-            reg_kl_meter.update(float(klr), global_itr)
-            time_meter.update(time.time() - begin, global_itr)
-            global_itr += 1
-            if itr % args.log_freq == 0:
-                logger.info(
-                    'Iter:%-3d | Time %s | elbo %8.2f(%8.2f) | '
-                    'nlhood:%8.2f(%8.2f) | kl_reg:%-8.2f(%-8.2f)',
-                    itr, timedelta(seconds=int(time_meter.val)),
-                    elbo_meter.val, elbo_meter.avg, nll_meter.val,
-                    nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg)
+            params, bstats, opt_state, (losses, lhs, klrs) = train_epoch(
+                params, bstats, opt_state, Xep, k_s)
+            for itr, (lo, lh, kr) in enumerate(zip(
+                    np.asarray(losses), np.asarray(lhs),
+                    np.asarray(klrs))):
+                record(itr, lo, lh, kr)
+        else:
+            for itr, (x, _) in enumerate(train_loader):
+                key, k_s = jax.random.split(key)
+                params, bstats, opt_state, loss, lh, klr = train_step(
+                    params, bstats, opt_state, x, k_s)
+                record(itr, loss, lh, klr)
         logger.info('Epoch:%4d/%4d| tr_elbo:%8.2f(%8.2f)\n', ep,
                     args.vae_epochs, elbo_meter.val, elbo_meter.avg)
 
