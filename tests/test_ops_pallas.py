@@ -387,3 +387,43 @@ def test_df_fn_eval_pallas_dispatch_matches_jnp():
                     jax.tree_util.tree_leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_df_train_step_pallas_matches_jnp():
+    """Full jitted train step with the DF kernel: the Pallas dispatch
+    (fused fwd + hand-written bwd, interpret on CPU) must reproduce the
+    jnp path's loss and post-step GP parameters - pins the kernel's
+    integration incl. gradients through draw_fn_sample and Adam."""
+    from vae_gp_ode_tpu.models.odegpvae import init_model
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_train_step)
+    from vae_gp_ode_tpu.ops import config as ops_config
+
+    X = jax.random.uniform(jax.random.PRNGKey(1), (4, 4, 1, 28, 28))
+    X = (X - 0.1307) / 0.3081
+
+    def one(pallas):
+        ops_config.set_use_pallas(pallas)
+        try:
+            model, variables, gp = init_model(
+                jax.random.PRNGKey(0), latent_dim=4, n_filt=4, order=1,
+                num_features=8, num_inducing=6, batch=4, T=4,
+                solver='euler', kernel='DF')
+            state, tx = create_train_state(model, variables, gp, lr=1e-3)
+            step = make_train_step(model, tx, num_observations=16.0,
+                                   eps_guard=True)
+            s2, m = step(state, X, jax.random.PRNGKey(2), 2)
+            jax.block_until_ready(m['loss'])
+            return s2, m
+        finally:
+            ops_config.set_use_pallas(None)
+
+    sp, mp = one(True)
+    sj, mj = one(False)
+    np.testing.assert_allclose(float(mp['loss']), float(mj['loss']),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(sp.gp),
+                    jax.tree_util.tree_leaves(sj.gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5)
