@@ -65,6 +65,49 @@ def measure_jax_steps_per_sec(steps=40, warmup=3, reps=5):
     return best, float(metrics['nfe']), best5
 
 
+def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=5,
+                                  reps=5):
+    """Throughput of the shipped default training path (--fast_epoch):
+    the train step lax.scanned over the epoch's stacked batches, one
+    device dispatch per epoch (18 iters at the reference envelope:
+    360 seqs / batch 20). This is what `python main.py` actually runs;
+    the per-step numbers in `extra` keep the round-1 protocol (one
+    host->device dispatch per step) for comparison."""
+    import jax
+    from vae_gp_ode_tpu.models.odegpvae import init_model
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_train_epoch)
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
+        num_features=S, num_inducing=M, batch=BATCH, T=T, solver='euler')
+    state, tx = create_train_state(model, variables, gp, lr=1e-3)
+    train_epoch = make_train_epoch(model, tx, num_observations=360.0,
+                                   eps_guard=True)
+
+    batches = jax.random.uniform(
+        jax.random.PRNGKey(3), (iters_per_epoch, BATCH, T, 1, 28, 28))
+    batches = (batches - 0.1307) / 0.3081
+    key = jax.random.PRNGKey(4)
+
+    def run(L, reps):
+        st, metrics = train_epoch(state, batches, key, L)
+        jax.block_until_ready(metrics['loss'])
+        best = 0.0
+        for r in range(reps):
+            st = state
+            t0 = time.perf_counter()
+            for e in range(epochs_per_block):
+                st, metrics = train_epoch(st, batches,
+                                          jax.random.fold_in(key, e), L)
+            jax.block_until_ready(metrics['loss'])
+            dt = time.perf_counter() - t0
+            best = max(best, iters_per_epoch * epochs_per_block / dt)
+        return best
+
+    return run(1, reps), run(5, 2)
+
+
 def get_torch_baseline():
     """Returns (steps_per_sec, source). source is 'cached', 'measured' or
     'fallback' - a fallback is reported loudly (stderr + JSON) so a broken
@@ -93,21 +136,28 @@ def get_torch_baseline():
 
 def main():
     jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
+    scan_sps, scan_sps_l5 = measure_scanned_steps_per_sec()
     torch_sps, baseline_source = get_torch_baseline()
-    seqs_per_sec = jax_sps * BATCH
+    # headline: the shipped default training path (whole-epoch scan, one
+    # dispatch per 18-iter epoch - what `python main.py` runs); the
+    # per-step-dispatch numbers (round-1 protocol) stay in `extra`
+    seqs_per_sec = scan_sps * BATCH
     result = {
         'metric': 'train_seqs_per_sec',
         'value': round(seqs_per_sec, 2),
         'unit': 'seqs/s',
-        'vs_baseline': round(jax_sps / torch_sps, 2),
+        'vs_baseline': round(scan_sps / torch_sps, 2),
         'extra': {
-            'train_steps_per_sec': round(jax_sps, 3),
-            'train_steps_per_sec_L5': round(jax_sps_l5, 3),
-            'ode_fn_evals_per_sec': round(jax_sps * nfe_per_step, 1),
+            'train_steps_per_sec_scanned_epoch': round(scan_sps, 3),
+            'train_steps_per_sec_scanned_epoch_L5': round(scan_sps_l5, 3),
+            'train_steps_per_sec_per_step_dispatch': round(jax_sps, 3),
+            'train_steps_per_sec_per_step_dispatch_L5': round(jax_sps_l5,
+                                                              3),
+            'ode_fn_evals_per_sec': round(scan_sps * nfe_per_step, 1),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'baseline_source': baseline_source,
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
-                      f'L={L} euler',
+                      f'L={L} euler; headline=--fast_epoch scanned path',
         },
     }
     print(json.dumps(result))

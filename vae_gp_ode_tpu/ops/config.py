@@ -45,10 +45,15 @@ _fuse_flow = False
 def fuse_flow():
     """True if whole-trajectory kernel fusion is enabled. Off by default:
     standalone, the fused forward+Pallas-discrete-adjoint backward beats
-    the XLA scan 1.6x (908 vs 1440 us on the trajectory gradient), but
-    embedded in the full vmapped train step it measures 5x slower (4861
-    vs 1011 us/step) - the vmap-lifted kernel grid and operand-packing
-    VJP dominate at these sizes. Enable for inference/rollout paths."""
+    the XLA scan 1.6x (908 vs 1440 us on the trajectory gradient). The
+    round-1 scatter-built operand packing made it 5x slower inside the
+    vmapped train step; the round-2 scatter-free rewrite removed that
+    regression, but inside the full train step it now only matches the
+    per-step path (interleaved A/B on TPU v5e: median fuseflow/pallas
+    ratio 0.995 at L=1 and L=5, `bench_variants.py --ab pallas
+    fuseflow`) - the step is latency-floor-bound at the reference
+    envelope, so there is no train-step win to justify a default flip.
+    Enable for standalone trajectory-gradient workloads."""
     return _fuse_flow
 
 
