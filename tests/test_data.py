@@ -168,3 +168,29 @@ def test_load_mat_mnist_data_frame_level(tmp_path):
     np.testing.assert_allclose(
         np.asarray(train.X), threes[:3].reshape(3 * T, 1, 28, 28),
         rtol=1e-6)
+
+
+def test_glyph_pool_closed_set():
+    """--n_glyphs k: sequences are drawn from a closed k-glyph pool
+    assigned round-robin, so the train/test splits share appearances
+    (synthetic analog of the reference's finite digit-3 pool); 0 keeps
+    one fresh glyph per sequence."""
+    from vae_gp_ode_tpu.data import synthetic
+
+    Xp = synthetic.make_rotating_sequences(8, T=4, seed=3, n_glyphs=2)
+    # round-robin: sequence i uses glyph i % 2
+    np.testing.assert_array_equal(Xp[0], Xp[2])
+    np.testing.assert_array_equal(Xp[1], Xp[7])
+    assert not np.array_equal(Xp[0], Xp[1])
+
+    Xo = synthetic.make_rotating_sequences(8, T=4, seed=3)
+    assert not np.array_equal(Xo[0], Xo[2])
+
+    # threaded through the sequence loader: train and test share glyphs
+    train, _, test = dm.load_mnist_data(
+        data_root='/nonexistent_so_synthetic', batch_size=4, T=4,
+        Ndata=8, Nvalid=4, Ntest=4, seed=3, n_glyphs=2)
+    tr = np.asarray(train.X)
+    te = np.asarray(test.X)
+    assert any(np.array_equal(te[j], tr[i])
+               for j in range(te.shape[0]) for i in range(tr.shape[0]))

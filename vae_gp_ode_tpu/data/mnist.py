@@ -115,8 +115,13 @@ def rot_start(X, T, seed=None):
     return out
 
 
-def _load_raw_sequences(data_root, Ntotal, T, digit=3, seed=0):
-    """Raw (N, T, 784) in [0, 1]: .mat file if present, else synthetic."""
+def _load_raw_sequences(data_root, Ntotal, T, digit=3, seed=0,
+                        n_glyphs=0):
+    """Raw (N, T, 784) in [0, 1]: .mat file if present, else synthetic.
+
+    `n_glyphs` (synthetic source only): 0 = fresh glyph per sequence;
+    k > 0 = closed k-glyph pool shared by the train/test splits (see
+    synthetic.make_rotating_sequences)."""
     matpath = os.path.join(data_root, 'rot_mnist', 'rot-mnist.mat')
     if os.path.exists(matpath):
         import scipy.io as sio
@@ -125,13 +130,14 @@ def _load_raw_sequences(data_root, Ntotal, T, digit=3, seed=0):
         Y = np.squeeze(d['Y'])
         X = X[Y == digit].astype(np.float32)
         return X, 'mat'
-    X = synthetic.make_rotating_sequences(Ntotal, T=T, seed=seed)
+    X = synthetic.make_rotating_sequences(Ntotal, T=T, seed=seed,
+                                          n_glyphs=n_glyphs)
     return X, 'synthetic'
 
 
 def load_mnist_data(data_root='data/', batch_size=20, T=16, Ndata=360,
                     Nvalid=40, Ntest=40, digit=3, rotrand=False,
-                    normalize=True, seed=0):
+                    normalize=True, seed=0, n_glyphs=0):
     """Train/valid/test Loaders of (B, T, 1, 28, 28) sequences.
 
     Reference split semantics (mnist.py:34-52): first Ndata train, next 40
@@ -140,7 +146,8 @@ def load_mnist_data(data_root='data/', batch_size=20, T=16, Ndata=360,
     rot_start reshuffle the reference left commented out.
     """
     Ntotal = Ndata + Nvalid + Ntest
-    X, source = _load_raw_sequences(data_root, Ntotal, T, digit, seed)
+    X, source = _load_raw_sequences(data_root, Ntotal, T, digit, seed,
+                                    n_glyphs=n_glyphs)
     X = X[:Ntotal].reshape(-1, T, 1, 28, 28).astype(np.float32)
     if rotrand:
         X = rot_start(X, T, seed=seed)
@@ -173,6 +180,7 @@ def load_data(args, plot=False):
         rotrand=getattr(args, 'rotrand', False) and
         getattr(args, 'rotrand_active', False),
         seed=getattr(args, 'seed', 0),
+        n_glyphs=getattr(args, 'n_glyphs', 0),
     )
     return train, test
 

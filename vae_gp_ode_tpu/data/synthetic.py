@@ -62,16 +62,26 @@ def rotate_image(img, angle_deg, prefer_native=True):
 
 
 def make_rotating_sequences(n_sequences, T=16, size=28, seed=0,
-                            start_angle_zero=True):
+                            start_angle_zero=True, n_glyphs=None):
     """Generate (N, T, size*size) float32 in [0, 1]: each sequence is one
     glyph rotated through T uniform angles covering a full turn.
 
     Matches the reference rot-MNIST layout: X (N, 16, 784), fixed initial
     angle (the --rotrand reshuffle is applied downstream when asked).
+
+    `n_glyphs`: None/0 draws a fresh glyph per sequence (hardest
+    appearance distribution - every test glyph is unseen). A positive int
+    draws that many base glyphs and assigns them round-robin, so the
+    train and test splits share one finite appearance pool - the closest
+    synthetic analog to the reference's regime (360 train / 40 test real
+    digit-3s from one MNIST pool, reference mnist.py:34-52), isolating
+    rotation-dynamics learning from open-set appearance generalisation.
     """
     rng = np.random.RandomState(seed)
-    bases = np.stack([_draw_digit3(rng, size)
-                      for _ in range(n_sequences)])
+    n_bases = n_sequences if not n_glyphs else min(int(n_glyphs),
+                                                   n_sequences)
+    pool = np.stack([_draw_digit3(rng, size) for _ in range(n_bases)])
+    bases = pool[np.arange(n_sequences) % n_bases]
     if start_angle_zero:
         offsets = np.zeros(n_sequences, np.float32)
     else:
