@@ -1,0 +1,31 @@
+#!/bin/bash
+# Round-2 phase 3: closed glyph-pool ablations (--n_glyphs 20).
+# The open-set synthetic task (fresh glyph per sequence) is much harder
+# than the reference's real-data regime (360/40 digit-3s from one MNIST
+# pool); these runs share a 20-glyph pool between train/test to isolate
+# rotation-dynamics learning, the closest synthetic analog of the
+# published setting (BASELINE.md fixed-angle ablation row: 0.0219).
+set -u
+cd "$(dirname "$0")/.."
+OUT=results/quality_table_r2.jsonl
+COMMON="--Nepoch 5000 --plot_freq 1000 --log_freq 10000"
+
+run () {
+  name=$1; shift
+  echo "=== training $name: $*" >&2
+  timeout 5400 python main.py $COMMON --save "results/$name" "$@" \
+      > "results/${name}_train.log" 2>&1
+  rc=$?
+  rundir=$(ls -dt results/${name}_*/ 2>/dev/null | head -1)
+  echo "=== training $name done rc=$rc dir=$rundir" >&2
+  if [ -n "$rundir" ]; then
+    timeout 1200 python evaluate.py --model_path "$rundir" --L 5 \
+        2> "results/${name}_eval.log" | tail -1 \
+        | sed "s/^{/{\"config\": \"$name\", /" >> "$OUT"
+  fi
+}
+
+run rbf_glyphpool20 --n_glyphs 20
+run rbf_glyphpool20_rotrand --n_glyphs 20 --rotrand_active True
+
+echo "=== phase3 done ===" >&2
