@@ -47,11 +47,12 @@ parser.add_argument('--rotrand_active', type=eval, default=False,
                     help="actually apply the rot_start reshuffle")
 parser.add_argument('--n_glyphs', type=int, default=0,
                     help="synthetic data only: 0 = fresh glyph per "
-                         "sequence (open-set appearance, hardest); k > 0 "
-                         "= closed k-glyph pool shared by train/test "
-                         "(closest analog to the reference's finite "
-                         "digit-3 pool; isolates rotation-dynamics "
-                         "learning)")
+                         "sequence (open-set appearance, the reference-"
+                         "regime analog); k > 0 = closed k-glyph pool "
+                         "shared by train/test - test sequences become "
+                         "replicas of training ones, so test MSE is a "
+                         "memorisation/fidelity upper bound (dynamics + "
+                         "reconstruction ceiling), not generalisation")
 
 # vae arguments (reference main.py:45-54)
 parser.add_argument('--latent_dim', type=int, default=6)

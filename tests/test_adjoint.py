@@ -24,7 +24,8 @@ def test_adjoint_forward_matches_direct(method):
     def f(th, t, z):
         return -th * z
 
-    zs_adj = odeint_adjoint(f, theta, z0, ts, method, 2)
+    zs_adj, nfe = odeint_adjoint(f, theta, z0, ts, method, 2)
+    assert int(nfe) > 0
     zs_dir = odeint(lambda t, z: -theta * z, z0, ts, method=method,
                     dense=2).zs
     np.testing.assert_allclose(np.asarray(zs_adj), np.asarray(zs_dir),
@@ -40,7 +41,7 @@ def test_adjoint_grads_close_to_backprop(method):
         return -th * z + 0.1 * jnp.sin(z)
 
     def loss_adj(th, z0):
-        return jnp.sum(odeint_adjoint(f, th, z0, ts, method, 4) ** 2)
+        return jnp.sum(odeint_adjoint(f, th, z0, ts, method, 4)[0] ** 2)
 
     def loss_dir(th, z0):
         return jnp.sum(odeint(lambda t, z: f(th, t, z), z0, ts,
@@ -100,7 +101,7 @@ def test_adjoint_nonautonomous_grads(method):
         return th * t * z
 
     def loss_adj(th):
-        return jnp.sum(odeint_adjoint(f, th, z0, ts, method, 8) ** 2)
+        return jnp.sum(odeint_adjoint(f, th, z0, ts, method, 8)[0] ** 2)
 
     def loss_dir(th):
         return jnp.sum(odeint(lambda t, z: f(th, t, z), z0, ts,
@@ -127,7 +128,7 @@ def test_adjoint_adaptive_and_multistep_grads(method):
 
     def loss_adj(th, z0):
         return jnp.sum(odeint_adjoint(f, th, z0, ts, method, 4,
-                                      1e-6, 1e-6, 256) ** 2)
+                                      1e-6, 1e-6, 256)[0] ** 2)
 
     def loss_dir(th, z0):
         return jnp.sum(odeint(lambda t, z: f(th, t, z), z0, ts,

@@ -173,8 +173,8 @@ def test_load_mat_mnist_data_frame_level(tmp_path):
 def test_glyph_pool_closed_set():
     """--n_glyphs k: sequences are drawn from a closed k-glyph pool
     assigned round-robin, so the train/test splits share appearances
-    (synthetic analog of the reference's finite digit-3 pool); 0 keeps
-    one fresh glyph per sequence."""
+    (a closed-set memorisation-bound ablation - test sequences replicate
+    training ones); 0 keeps one fresh glyph per sequence (open-set)."""
     from vae_gp_ode_tpu.data import synthetic
 
     Xp = synthetic.make_rotating_sequences(8, T=4, seed=3, n_glyphs=2)

@@ -1,10 +1,11 @@
 #!/bin/bash
 # Round-2 phase 3: closed glyph-pool ablations (--n_glyphs 20).
-# The open-set synthetic task (fresh glyph per sequence) is much harder
-# than the reference's real-data regime (360/40 digit-3s from one MNIST
-# pool); these runs share a 20-glyph pool between train/test to isolate
-# rotation-dynamics learning, the closest synthetic analog of the
-# published setting (BASELINE.md fixed-angle ablation row: 0.0219).
+# CLOSED-SET runs: train/test share a 20-glyph pool, so test sequences
+# are replicas of training ones - the resulting MSE is a memorisation/
+# fidelity UPPER BOUND (how well the pipeline represents and propagates
+# the rotation with appearance generalisation removed), NOT a
+# generalisation measure. Quantifies how much of the open-set rows'
+# ~0.49 MSE is appearance generalisation vs dynamics/reconstruction.
 set -u
 cd "$(dirname "$0")/.."
 OUT=results/quality_table_r2.jsonl

@@ -69,13 +69,16 @@ def make_rotating_sequences(n_sequences, T=16, size=28, seed=0,
     Matches the reference rot-MNIST layout: X (N, 16, 784), fixed initial
     angle (the --rotrand reshuffle is applied downstream when asked).
 
-    `n_glyphs`: None/0 draws a fresh glyph per sequence (hardest
-    appearance distribution - every test glyph is unseen). A positive int
-    draws that many base glyphs and assigns them round-robin, so the
-    train and test splits share one finite appearance pool - the closest
-    synthetic analog to the reference's regime (360 train / 40 test real
-    digit-3s from one MNIST pool, reference mnist.py:34-52), isolating
-    rotation-dynamics learning from open-set appearance generalisation.
+    `n_glyphs`: None/0 draws a fresh glyph per sequence (open-set: every
+    test glyph is an unseen instance - the analog of the reference's
+    regime, where test digit-3s are distinct instances from the same
+    MNIST distribution). A positive int draws that many base glyphs and
+    assigns them round-robin, making a CLOSED-SET ablation: with the
+    deterministic angle grid, test sequences are then replicas of
+    training sequences, so the resulting MSE is a memorisation/fidelity
+    UPPER BOUND (how well the pipeline can represent and propagate the
+    rotation with appearance generalisation removed), not a
+    generalisation measure.
     """
     rng = np.random.RandomState(seed)
     n_bases = n_sequences if not n_glyphs else min(int(n_glyphs),

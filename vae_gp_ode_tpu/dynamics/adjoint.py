@@ -75,21 +75,24 @@ def odeint_adjoint(f, theta, z0, ts, method='euler', dense=1,
     @param theta: parameter pytree (cotangents flow through the adjoint)
     @param method: any solver in dynamics.solvers.SOLVERS; the backward
         pass uses the same method (adaptive for dopri5)
-    @return: zs (T, *z0.shape)
+    @return: (zs (T, *z0.shape), nfe) - nfe is the forward solve's actual
+        RHS-evaluation count (exact for adaptive solvers too; it gets a
+        zero cotangent in the backward pass)
     """
     sol = odeint(lambda t, z: f(theta, t, z), z0, ts, method=method,
                  dense=dense, rtol=rtol, atol=atol, max_steps=max_steps,
                  remat=False)
-    return sol.zs
+    return sol.zs, sol.nfe
 
 
 def _adj_fwd(f, theta, z0, ts, method, dense, rtol, atol, max_steps):
-    zs = odeint_adjoint(f, theta, z0, ts, method, dense, rtol, atol,
-                        max_steps)
-    return zs, (theta, zs, ts)
+    zs, nfe = odeint_adjoint(f, theta, z0, ts, method, dense, rtol, atol,
+                             max_steps)
+    return (zs, nfe), (theta, zs, ts)
 
 
-def _adj_bwd(f, method, dense, rtol, atol, max_steps, res, zs_bar):
+def _adj_bwd(f, method, dense, rtol, atol, max_steps, res, bars):
+    zs_bar, _ = bars                      # nfe is an integer count: no grad
     theta, zs, ts = res
     gth0 = jax.tree.map(jnp.zeros_like, theta)
 
@@ -170,14 +173,7 @@ def flow_forward_adjoint(gp, sample, z0, ts, order=1, solver='euler',
                                    axis=1)
         return fn_eval(gp_, sample_, z)
 
-    zs = odeint_adjoint(f, (gp, sample), z0, ts, method=solver,
-                        dense=dense, rtol=rtol, atol=atol,
-                        max_steps=max_steps)
-    per = {'euler': 1, 'midpoint': 2, 'rk4': 4}.get(solver)
-    if per is not None:
-        nfe = jnp.asarray((ts.shape[0] - 1) * dense * per)
-    else:
-        # adaptive/multistep counts are dynamic; report the output-grid
-        # lower bound (exact nfe is available on the non-adjoint path)
-        nfe = jnp.asarray(ts.shape[0] - 1)
+    zs, nfe = odeint_adjoint(f, (gp, sample), z0, ts, method=solver,
+                             dense=dense, rtol=rtol, atol=atol,
+                             max_steps=max_steps)
     return jnp.transpose(zs, (1, 0, 2)), nfe

@@ -5,21 +5,44 @@ of truth for parity tests and for reverse-mode gradients; the Pallas
 kernels are forward fast paths enabled on TPU backends.
 """
 
+import contextlib
+import threading
+
 import jax
 
 _use_pallas = None
+_tls = threading.local()
 
 
 def use_pallas():
     """True if the Pallas fast paths should be used (TPU backend, not
-    overridden)."""
+    overridden). A `forced_jnp()` context (thread-local, highest
+    precedence) beats the process-global `set_use_pallas` override."""
     global _use_pallas
+    if getattr(_tls, 'forced_jnp', 0):
+        return False
     if _use_pallas is not None:
         return _use_pallas
     try:
         return jax.default_backend() not in ('cpu',)
     except Exception:
         return False
+
+
+@contextlib.contextmanager
+def forced_jnp():
+    """Pin the jnp compute path for the dynamic extent of the context in
+    this thread. Used by step functions whose traced body must never
+    dispatch to Pallas (e.g. the GSPMD data-parallel step: the
+    partitioner cannot shard a pallas_call over the mesh) - scoping the
+    pin to the traced body means interleaved tracing of OTHER functions
+    (callbacks, other threads) is unaffected, unlike a process-global
+    toggle around the call."""
+    _tls.forced_jnp = getattr(_tls, 'forced_jnp', 0) + 1
+    try:
+        yield
+    finally:
+        _tls.forced_jnp -= 1
 
 
 def set_use_pallas(value):

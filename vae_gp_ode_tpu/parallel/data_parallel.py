@@ -12,7 +12,7 @@ This replaces nothing in the reference (which is single-device); it is the
 framework's scale-out path.
 """
 
-from functools import partial, wraps
+from functools import partial
 
 import jax
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -20,30 +20,16 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from vae_gp_ode_tpu.training.trainer import _make_step_fn, _make_epoch_fn
 
 
-def _pin_jnp_path(jitted):
-    """Force the jnp compute path while the wrapped jit traces.
-
-    The Pallas fast-path kernels are single-device programs; the GSPMD
-    partitioner cannot shard a pallas_call over the mesh (it would
-    all-gather the batch and replicate the solve, silently serialising
-    the hot loop - or reject the lowering outright on real multi-chip
-    hardware). The XLA graph partitions cleanly and fuses well, so the
-    data-parallel step pins it at trace time. (Per-shard Pallas via
-    shard_map is the eventual upgrade path; it needs axis_name-aware
-    BatchNorm and explicit grad psums.)
-    """
-    from vae_gp_ode_tpu.ops import config as ops_config
-
-    @wraps(jitted)
-    def wrapper(*a, **k):
-        prev = ops_config._use_pallas
-        ops_config.set_use_pallas(False)
-        try:
-            return jitted(*a, **k)
-        finally:
-            ops_config.set_use_pallas(prev)
-
-    return wrapper
+# The Pallas fast-path kernels are single-device programs; the GSPMD
+# partitioner cannot shard a pallas_call over the mesh (it would
+# all-gather the batch and replicate the solve, silently serialising the
+# hot loop - or reject the lowering outright on real multi-chip
+# hardware). The XLA graph partitions cleanly and fuses well, so the
+# data-parallel factories build their step with force_jnp=True: the pin
+# is scoped to the traced step body (thread-local, ops.config.forced_jnp)
+# rather than toggling process-global state around the call. (Per-shard
+# Pallas via shard_map is the eventual upgrade path; it needs
+# axis_name-aware BatchNorm and explicit grad psums.)
 
 
 def replicate(tree, mesh):
@@ -71,11 +57,11 @@ def make_parallel_train_step(model, tx, num_observations, mesh,
     """
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(axis))
-    step = _make_step_fn(model, tx, num_observations, eps_guard)
-    return _pin_jnp_path(
-        partial(jax.jit, static_argnums=(3,),
-                in_shardings=(repl, data_sh, repl),
-                out_shardings=(repl, repl))(step))
+    step = _make_step_fn(model, tx, num_observations, eps_guard,
+                         force_jnp=True)
+    return partial(jax.jit, static_argnums=(3,),
+                   in_shardings=(repl, data_sh, repl),
+                   out_shardings=(repl, repl))(step)
 
 
 def make_parallel_train_epoch(model, tx, num_observations, mesh,
@@ -93,11 +79,11 @@ def make_parallel_train_epoch(model, tx, num_observations, mesh,
     """
     repl = NamedSharding(mesh, P())
     batches_sh = NamedSharding(mesh, P(None, axis))
-    step = _make_step_fn(model, tx, num_observations, eps_guard)
-    return _pin_jnp_path(
-        partial(jax.jit, static_argnums=(3,),
-                in_shardings=(repl, batches_sh, repl),
-                out_shardings=(repl, repl))(_make_epoch_fn(step)))
+    step = _make_step_fn(model, tx, num_observations, eps_guard,
+                         force_jnp=True)
+    return partial(jax.jit, static_argnums=(3,),
+                   in_shardings=(repl, batches_sh, repl),
+                   out_shardings=(repl, repl))(_make_epoch_fn(step))
 
 
 def shard_epoch(batches, mesh, axis='data'):

@@ -52,6 +52,13 @@ def _validate_like(leaves, like, src_fingerprint=None):
                 f'checkpoint/model structure mismatch at leaf {i}: '
                 f'checkpoint shape {a_shape} vs target shape {b_shape} - '
                 f'refusing to reattach by flat order')
+        a_dt = np.asarray(a).dtype
+        b_dt = np.asarray(b).dtype
+        if a_dt != b_dt:
+            raise ValueError(
+                f'checkpoint/model structure mismatch at leaf {i}: '
+                f'checkpoint dtype {a_dt} vs target dtype {b_dt} - '
+                f'refusing to reattach by flat order')
     if src_fingerprint is not None:
         tgt = _treedef_fingerprint(like)
         if src_fingerprint != tgt:
@@ -84,12 +91,13 @@ def restore_checkpoint(path, like=None):
     leaf. Legacy pickle checkpoints still load, with a warning - pickle
     runs arbitrary code, so only restore trusted local files that way.
     """
-    try:
+    # npz files are zip archives; sniff the magic bytes instead of
+    # classifying any np.load failure as "legacy pickle" (a corrupt or
+    # truncated npz must error, not fall through to code-executing pickle)
+    with open(path, 'rb') as f:
+        magic = f.read(2)
+    if magic == b'PK':
         data = np.load(path, allow_pickle=False)
-        is_npz = True
-    except Exception:
-        is_npz = False
-    if is_npz:
         if like is None:
             raise ValueError('npz checkpoints need `like=` (treedef donor)')
         n = sum(1 for k in data.files if k.startswith('leaf_'))

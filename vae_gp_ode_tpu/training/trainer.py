@@ -18,6 +18,7 @@ import optax
 from flax import struct
 
 from vae_gp_ode_tpu.gp.svgp import SVGPParams
+from vae_gp_ode_tpu.ops import config as ops_config
 from vae_gp_ode_tpu.training.objectives import compute_loss, compute_test_error
 
 
@@ -56,10 +57,21 @@ def create_train_state(model, variables, gp: SVGPParams, lr=1e-3,
 
 
 def _make_step_fn(model, tx, num_observations: float,
-                  eps_guard: bool = False):
-    """The un-jitted train step (shared by per-step and per-epoch paths)."""
+                  eps_guard: bool = False, force_jnp: bool = False):
+    """The un-jitted train step (shared by per-step and per-epoch paths).
+
+    `force_jnp=True` pins the jnp compute path for the dynamic extent of
+    the step body's trace (thread-local, see ops.config.forced_jnp) - the
+    data-parallel factories use it because GSPMD cannot shard a
+    pallas_call over the mesh."""
 
     def train_step(state: TrainState, batch, key, L: int):
+        if force_jnp:
+            with ops_config.forced_jnp():
+                return _body(state, batch, key, L)
+        return _body(state, batch, key, L)
+
+    def _body(state: TrainState, batch, key, L: int):
         def loss_fn(params):
             vae_params, gp = params
             (Xrec, s_stats, v_stats, nfe), updates = model.apply(

@@ -63,6 +63,10 @@ def plot_rand_rot_mnist(X, Xrec, fname='rand_rot_mnist.png', rows=4):
     X = np.asarray(X)
     Xrec = np.asarray(Xrec)
     N = min(X.shape[0], 4)
+    # the walk consumes N+1 flat frames per row (the reference's
+    # skip-one advance); clamp rows so small inputs don't run off the end
+    frames = min(X.shape[0], Xrec.shape[0])
+    rows = max(1, min(rows, (frames + 1) // (N + 1))) if N else 1
     plt.figure(2, (N, 3 * rows))
     idx_x = idx_rec = 0
     for r in range(rows):
