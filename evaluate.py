@@ -88,7 +88,12 @@ def evaluate_one(args, model_path):
         num_features=ta.num_features, num_inducing=ta.num_inducing,
         kernel=ta.kernel, q_diag=ta.q_diag, dimwise=ta.dimwise,
         D_in=ta.D_in, D_out=ta.D_out, batch=2, T=ta.T)
-    state, _ = create_train_state(model, variables, gp)
+    # a run trained with --pretrained (frozen VAE) carries a different
+    # opt_state structure (set_to_zero for the VAE params instead of
+    # Adam moments); the restore template must match the saved one
+    state, _ = create_train_state(
+        model, variables, gp,
+        freeze_vae=bool(getattr(ta, 'pretrained', False)))
     state = ckpt.restore_checkpoint(
         os.path.join(model_path, 'odegpvae_mnist.ckpt'), like=state)
 

@@ -58,3 +58,26 @@ def test_df_requires_square_dims():
     with pytest.raises(ValueError, match='DF kernel requires'):
         init_svgp_params(jax.random.PRNGKey(0), D_in=6, D_out=3, M=4,
                          kernel='DF')
+
+
+def test_frozen_vae_checkpoint_needs_matching_template(tmp_path):
+    """A --pretrained (frozen-VAE) run's opt_state has set_to_zero state
+    for the VAE params instead of Adam moments: restoring with the
+    default template must REFUSE (leaf-count mismatch), and restoring
+    with a freeze_vae template must round-trip (the evaluate.py template
+    bug fixed in round 2)."""
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=8, num_inducing=6, batch=2, T=4)
+    frozen, _ = create_train_state(model, variables, gp, freeze_vae=True)
+    p = str(tmp_path / 'frozen.ckpt')
+    ckpt.save_checkpoint(frozen, p)
+
+    default_like, _ = create_train_state(model, variables, gp)
+    with pytest.raises(ValueError, match='structure mismatch'):
+        ckpt.restore_checkpoint(p, like=default_like)
+
+    frozen_like, _ = create_train_state(model, variables, gp,
+                                        freeze_vae=True)
+    restored = ckpt.restore_checkpoint(p, like=frozen_like)
+    _assert_state_equal(frozen, restored)
