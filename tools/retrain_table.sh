@@ -14,7 +14,7 @@ COMMON="--Nepoch 5000 --plot_freq 1000 --log_freq 10000"
 run () {
   name=$1; shift
   echo "=== training $name: $*" >&2
-  timeout 5400 python main.py $COMMON --save "results/$name" "$@" \
+  timeout 9000 python main.py $COMMON --save "results/$name" "$@" \
       > "results/${name}_train.log" 2>&1
   rc=$?
   rundir=$(ls -dt results/${name}_*/ 2>/dev/null | head -1)
