@@ -204,7 +204,8 @@ def main():
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.core.transforms import invsoftplus
     from vae_gp_ode_tpu.training.trainer import (
-        create_train_state, make_train_step, make_eval_step)
+        create_train_state, make_train_step, make_eval_step,
+        make_epoch_eval_step)
     from vae_gp_ode_tpu.training import checkpoint as ckpt
     from vae_gp_ode_tpu.training.meters import (
         CachedRunningAverageMeter, CachedAverageMeter, CachedHyperparams)
@@ -317,7 +318,7 @@ def main():
         mesh = make_mesh()
         train_step_p = make_parallel_train_step(
             model, tx, num_observations=args.Ndata, mesh=mesh,
-            eps_guard=args.eps_guard)
+            eps_guard=args.eps_guard, freeze_vae=args.pretrained)
         state = replicate(state, mesh)
         logger.info('Data-parallel over %d devices (mesh %s)',
                     mesh.devices.size, mesh.axis_names)
@@ -330,7 +331,7 @@ def main():
             # training keeps the one-dispatch-per-epoch property
             train_epoch_p = make_parallel_train_epoch(
                 model, tx, num_observations=args.Ndata, mesh=mesh,
-                eps_guard=args.eps_guard)
+                eps_guard=args.eps_guard, freeze_vae=args.pretrained)
 
             def train_epoch(state, batches, key, L):
                 return train_epoch_p(state, shard_epoch(batches, mesh),
@@ -338,13 +339,25 @@ def main():
     else:
         train_step = make_train_step(model, tx,
                                      num_observations=args.Ndata,
-                                     eps_guard=args.eps_guard)
+                                     eps_guard=args.eps_guard,
+                                     freeze_vae=args.pretrained)
         if use_fast:
             from vae_gp_ode_tpu.training.trainer import make_train_epoch
             train_epoch = make_train_epoch(model, tx,
                                            num_observations=args.Ndata,
-                                           eps_guard=args.eps_guard)
+                                           eps_guard=args.eps_guard,
+                                           freeze_vae=args.pretrained)
     eval_step = make_eval_step(model)
+    if args.pretrained:
+        # frozen VAE: the reference keeps encoder/decoder in eval() mode
+        # (main.py:163-164), so the monitoring eval uses running stats too
+        def epoch_eval(st, batch, k, L):
+            Xrec_, mse_ = eval_step(st, batch, k, L)
+            return Xrec_, mse_, st.batch_stats
+    else:
+        # reference main.py:236-246: per-epoch eval never leaves train
+        # mode - batch-stat BN, running stats updated (folded into state)
+        epoch_eval = make_epoch_eval_step(model)
     roll_step = make_eval_step(model, T_custom=args.Troll * args.T)
 
     logger.info('********** Started Training **********')
@@ -453,7 +466,9 @@ def main():
         mse_meter.reset()
         for itr_test, test_batch in enumerate(testset):
             key, k_ev = jax.random.split(key)
-            Xrec, test_mse = eval_step(state, test_batch, k_ev, 1)
+            Xrec, test_mse, new_bs = epoch_eval(state, test_batch,
+                                                k_ev, 1)
+            state = state.replace(batch_stats=new_bs)
             if ep % args.plot_freq == 0 or ep == args.Nepoch - 1:
                 plotting.plot_rot_mnist(
                     np.asarray(test_batch), np.asarray(Xrec[0]), False,

@@ -153,20 +153,68 @@ def test_df_kernel_model():
 
 
 def test_frozen_vae_training():
-    """freeze_vae: VAE params must not move; GP params must."""
+    """freeze_vae: VAE params AND BatchNorm statistics must not move (the
+    reference sets the pretrained encoder/decoder to eval() mode,
+    main.py:163-164, so running stats are used and never updated); GP
+    params must move."""
     model, variables, gp = init_model(
         jax.random.PRNGKey(40), latent_dim=3, n_filt=4, order=1,
         num_features=16, num_inducing=8, batch=N, T=T)
     state, tx = create_train_state(model, variables, gp, freeze_vae=True)
     step = make_train_step(model, tx, num_observations=float(N),
-                           eps_guard=True)
+                           eps_guard=True, freeze_vae=True)
     X = make_batch(jax.random.PRNGKey(41))
     state2, _ = step(state, X, jax.random.PRNGKey(42), 1)
     for b, a in zip(jax.tree_util.tree_leaves(state.vae_params),
                     jax.tree_util.tree_leaves(state2.vae_params)):
         np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    for b, a in zip(jax.tree_util.tree_leaves(state.batch_stats),
+                    jax.tree_util.tree_leaves(state2.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
     assert not np.allclose(np.asarray(state.gp.Um),
                            np.asarray(state2.gp.Um))
+
+
+def test_unfrozen_training_updates_batch_stats(setup):
+    """The default (unfrozen) step keeps train-mode BN: running stats
+    move every step (reference semantics)."""
+    from vae_gp_ode_tpu.training.trainer import create_train_state as cts
+    model, variables, gp = setup
+    state, tx = cts(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    X = make_batch(jax.random.PRNGKey(43))
+    state2, _ = step(state, X, jax.random.PRNGKey(44), 1)
+    before = np.concatenate([np.ravel(x) for x in
+                             jax.tree_util.tree_leaves(state.batch_stats)])
+    after = np.concatenate([np.ravel(x) for x in
+                            jax.tree_util.tree_leaves(state2.batch_stats)])
+    assert not np.allclose(before, after)
+
+
+def test_epoch_eval_step_reference_bn_semantics(setup):
+    """make_epoch_eval_step replicates the reference per-epoch eval
+    (main.py:236-246): train-mode BN (batch statistics) and the running
+    stats ARE updated by the eval forward; make_eval_step (the notebook
+    protocol, model.eval()) returns a different MSE and touches nothing."""
+    from vae_gp_ode_tpu.training.trainer import make_epoch_eval_step
+    model, variables, gp = setup
+    state, tx = create_train_state(model, variables, gp)
+    X = make_batch(jax.random.PRNGKey(45))
+    k = jax.random.PRNGKey(46)
+
+    ep_ev = make_epoch_eval_step(model)
+    Xrec_t, mse_t, new_bs = ep_ev(state, X, k, 1)
+    before = np.concatenate([np.ravel(x) for x in
+                             jax.tree_util.tree_leaves(state.batch_stats)])
+    after = np.concatenate([np.ravel(x) for x in
+                            jax.tree_util.tree_leaves(new_bs)])
+    assert not np.allclose(before, after)
+
+    ev = make_eval_step(model)
+    Xrec_e, mse_e = ev(state, X, k, 1)
+    # same weights, same key: only the BN mode differs
+    assert not np.allclose(float(mse_t), float(mse_e))
 
 
 def test_train_epoch_matches_per_step_path(setup):

@@ -371,10 +371,15 @@ def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
 # public entry point
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(0, 3, 4, 7, 8))
 def odeint(f, z0, ts, method='euler', dense=1, rtol=1e-6, atol=1e-6,
            max_steps=256, remat=True):
     """Integrate dz/dt = f(t, z) from ts[0] through ts[-1].
+
+    NOT jitted at this level: jit would key its cache on the identity of
+    `f`, so the normal calling pattern (a fresh closure per call) would
+    retrace every call AND grow the cache without bound. All production
+    paths (train/eval steps, bench) jit at the step level; wrap eager
+    hot loops in jax.jit yourself if `f` is long-lived.
 
     @param f: RHS callable (t, z) -> dz (closed over params/FnSample)
     @param z0: initial state, any array shape

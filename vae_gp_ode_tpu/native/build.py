@@ -65,13 +65,23 @@ def native_available():
     return load_library() is not None
 
 
+def _require_library():
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError(
+            'native rotation library unavailable (no C++ compiler found '
+            'and no cached build); guard calls with native_available() '
+            'or use the scipy path (data.synthetic.rotate_image)')
+    return lib
+
+
 def _fp(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
 
 
 def rotate_bilinear(img, angle_deg):
     """Rotate (h, w) float32 image; scipy reshape=False order=1 semantics."""
-    lib = load_library()
+    lib = _require_library()
     img = np.ascontiguousarray(img, np.float32)
     out = np.empty_like(img)
     lib.rotate_bilinear(_fp(img), _fp(out), img.shape[0], img.shape[1],
@@ -82,7 +92,7 @@ def rotate_bilinear(img, angle_deg):
 def make_rot_sequences(bases, T, offsets=None):
     """(n, h, w) base images -> (n, T, h, w) full-turn rotation sequences,
     clipped to [0, 1]."""
-    lib = load_library()
+    lib = _require_library()
     bases = np.ascontiguousarray(bases, np.float32)
     n, h, w = bases.shape
     if offsets is None:
@@ -95,7 +105,7 @@ def make_rot_sequences(bases, T, offsets=None):
 
 def rotate_batch(imgs, angles):
     """(n, h, w) images rotated by per-image angles, clipped to [0, 1]."""
-    lib = load_library()
+    lib = _require_library()
     imgs = np.ascontiguousarray(imgs, np.float32)
     n, h, w = imgs.shape
     angles = np.ascontiguousarray(angles, np.float32)

@@ -250,14 +250,25 @@ def _pallas_backward(x, omf, phf, G, Z, nur, ls2, var, gout,
 def fused_df_pathwise_eval(x, omf, phf, G, Z, nur, ls2, var,
                            interpret=False):
     """Pallas-fused forward AND backward for the DF pathwise eval. Same
-    semantics as :func:`df_pathwise_reference` (the parity oracle)."""
+    semantics as :func:`df_pathwise_reference` (the parity oracle).
+
+    Large batches (N > 512) fall back to the jnp reference in BOTH
+    directions: the single-block kernel materialises the (N, 2*S*D)
+    feature matrix in VMEM, which overflows past ~512 rows at the
+    production S (the RBF kernel tiles its grid instead; the train/solve
+    paths here are N<=batch so the single block is the fast case)."""
+    if x.shape[0] > 512:
+        return df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
     return _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
                            interpret=interpret)
 
 
 def _fwd(x, omf, phf, G, Z, nur, ls2, var, interpret):
-    out = _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
-                          interpret=interpret)
+    if x.shape[0] > 512:
+        out = df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
+    else:
+        out = _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
+                              interpret=interpret)
     return out, (x, omf, phf, G, Z, nur, ls2, var)
 
 

@@ -45,7 +45,8 @@ def shard_batch(batch, mesh, axis='data'):
 
 
 def make_parallel_train_step(model, tx, num_observations, mesh,
-                             eps_guard=False, axis='data'):
+                             eps_guard=False, axis='data',
+                             freeze_vae=False):
     """Data-parallel train step: exactly the single-device step body
     (training.trainer._make_step_fn - one source of truth for the math),
     jitted with explicit shardings over `mesh`.
@@ -58,14 +59,15 @@ def make_parallel_train_step(model, tx, num_observations, mesh,
     repl = NamedSharding(mesh, P())
     data_sh = NamedSharding(mesh, P(axis))
     step = _make_step_fn(model, tx, num_observations, eps_guard,
-                         force_jnp=True)
+                         force_jnp=True, freeze_vae=freeze_vae)
     return partial(jax.jit, static_argnums=(3,),
                    in_shardings=(repl, data_sh, repl),
                    out_shardings=(repl, repl))(step)
 
 
 def make_parallel_train_epoch(model, tx, num_observations, mesh,
-                              eps_guard=False, axis='data'):
+                              eps_guard=False, axis='data',
+                              freeze_vae=False):
     """Data-parallel whole-epoch training: the single-device epoch scan
     (training.trainer._make_epoch_fn - one source of truth) jitted with
     mesh shardings, so multi-chip training keeps the one-dispatch-per-epoch
@@ -80,7 +82,7 @@ def make_parallel_train_epoch(model, tx, num_observations, mesh,
     repl = NamedSharding(mesh, P())
     batches_sh = NamedSharding(mesh, P(None, axis))
     step = _make_step_fn(model, tx, num_observations, eps_guard,
-                         force_jnp=True)
+                         force_jnp=True, freeze_vae=freeze_vae)
     return partial(jax.jit, static_argnums=(3,),
                    in_shardings=(repl, batches_sh, repl),
                    out_shardings=(repl, repl))(_make_epoch_fn(step))

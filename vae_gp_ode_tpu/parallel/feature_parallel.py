@@ -31,6 +31,12 @@ def fp_draw_fn_sample(gp: SVGPParams, key, S, mesh, axis='model'):
     phase, weights). nu (M x D) stays replicated - M=100 is tiny and its
     Cholesky is a single-device op by design.
     """
+    if gp.kernel_name != 'RBF':
+        raise ValueError(
+            f'feature parallelism supports the RBF kernel only (got '
+            f'{gp.kernel_name!r}): the DF kernel couples outputs through '
+            f'its (M*D, M*D) gram and ORFF weights, which do not shard '
+            f'over the feature axis without a distributed Cholesky')
     sample = draw_fn_sample(gp, key, S)
     rff = sample.rff
     if gp.kernel.dimwise:

@@ -174,9 +174,13 @@ def load_vae_weights(encoder_path, decoder_path):
     from flax import traverse_util
 
     def _load(path):
-        try:
+        # same magic-byte discrimination as restore_checkpoint: a corrupt
+        # or hostile npz must error, never fall through to pickle
+        with open(path, 'rb') as f:
+            magic = f.read(2)
+        if magic == b'PK':
             data = np.load(path, allow_pickle=False)
-        except Exception:
+        else:
             warnings.warn(
                 f'{path} is a legacy pickle VAE checkpoint (loading '
                 f'executes code; only load trusted local files)',

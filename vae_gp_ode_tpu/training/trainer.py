@@ -57,13 +57,21 @@ def create_train_state(model, variables, gp: SVGPParams, lr=1e-3,
 
 
 def _make_step_fn(model, tx, num_observations: float,
-                  eps_guard: bool = False, force_jnp: bool = False):
+                  eps_guard: bool = False, force_jnp: bool = False,
+                  freeze_vae: bool = False):
     """The un-jitted train step (shared by per-step and per-epoch paths).
 
     `force_jnp=True` pins the jnp compute path for the dynamic extent of
     the step body's trace (thread-local, see ops.config.forced_jnp) - the
     data-parallel factories use it because GSPMD cannot shard a
-    pallas_call over the mesh."""
+    pallas_call over the mesh.
+
+    `freeze_vae=True` replicates the reference's pretrained-VAE step
+    exactly (reference main.py:163-164 sets encoder/decoder to eval()):
+    BatchNorm normalises with the pretrained RUNNING statistics and
+    batch_stats are never updated. The optimizer-side freeze (zeroed VAE
+    updates, create_train_state) handles the weights; this handles the
+    statistics."""
 
     def train_step(state: TrainState, batch, key, L: int):
         if force_jnp:
@@ -74,14 +82,23 @@ def _make_step_fn(model, tx, num_observations: float,
     def _body(state: TrainState, batch, key, L: int):
         def loss_fn(params):
             vae_params, gp = params
-            (Xrec, s_stats, v_stats, nfe), updates = model.apply(
-                {'params': vae_params, 'batch_stats': state.batch_stats},
-                batch, gp, key, L=L, train=True,
-                mutable=['batch_stats'])
+            if freeze_vae:
+                Xrec, s_stats, v_stats, nfe = model.apply(
+                    {'params': vae_params,
+                     'batch_stats': state.batch_stats},
+                    batch, gp, key, L=L, train=False)
+                new_bs = state.batch_stats
+            else:
+                (Xrec, s_stats, v_stats, nfe), updates = model.apply(
+                    {'params': vae_params,
+                     'batch_stats': state.batch_stats},
+                    batch, gp, key, L=L, train=True,
+                    mutable=['batch_stats'])
+                new_bs = updates['batch_stats']
             loss, nll, kl_reg, kl_u = compute_loss(
                 batch, Xrec, s_stats, v_stats, gp, num_observations,
                 eps_guard=eps_guard)
-            return loss, (nll, kl_reg, kl_u, nfe, updates['batch_stats'])
+            return loss, (nll, kl_reg, kl_u, nfe, new_bs)
 
         params = (state.vae_params, state.gp)
         (loss, (nll, kl_reg, kl_u, nfe, new_bs)), grads = \
@@ -99,10 +116,11 @@ def _make_step_fn(model, tx, num_observations: float,
 
 
 def make_train_step(model, tx, num_observations: float,
-                    eps_guard: bool = False):
+                    eps_guard: bool = False, freeze_vae: bool = False):
     """Returns train_step(state, batch, key, L) jitted with static L."""
     return partial(jax.jit, static_argnums=(3,))(
-        _make_step_fn(model, tx, num_observations, eps_guard))
+        _make_step_fn(model, tx, num_observations, eps_guard,
+                      freeze_vae=freeze_vae))
 
 
 def _make_epoch_fn(step):
@@ -132,7 +150,7 @@ def _make_epoch_fn(step):
 
 
 def make_train_epoch(model, tx, num_observations: float,
-                     eps_guard: bool = False):
+                     eps_guard: bool = False, freeze_vae: bool = False):
     """Whole-epoch training as one device dispatch.
 
     The reference (and the per-step path) fetches every metric scalar to
@@ -144,15 +162,20 @@ def make_train_epoch(model, tx, num_observations: float,
     Returns train_epoch(state, batches (I,B,T,1,d,d), key, L). The
     data-parallel variant is parallel.make_parallel_train_epoch.
     """
-    step = _make_step_fn(model, tx, num_observations, eps_guard)
+    step = _make_step_fn(model, tx, num_observations, eps_guard,
+                         freeze_vae=freeze_vae)
     return partial(jax.jit, static_argnums=(3,))(_make_epoch_fn(step))
 
 
 def make_eval_step(model, T_custom: Optional[int] = None):
-    """Returns eval_step(state, batch, key, L) -> (Xrec, mse).
+    """Returns eval_step(state, batch, key, L) -> (Xrec, mse), with
+    eval-mode BatchNorm (running statistics).
 
-    Matches the reference per-epoch eval: L=1 forward in eval mode, squeeze
-    the MC axis, MSE vs input (reference main.py:236-246).
+    This is the PUBLISHED-NUMBER protocol: the reference notebooks call
+    model.eval() before compute_mse_std (plots_dynamics.ipynb cell 8).
+    The reference's per-epoch monitoring eval is different - it never
+    leaves train mode (main.py:236-246 uses only no_grad) - see
+    make_epoch_eval_step for that variant.
     """
 
     @partial(jax.jit, static_argnums=(3,))
@@ -165,5 +188,29 @@ def make_eval_step(model, T_custom: Optional[int] = None):
         else:
             mse = jnp.asarray(0.0)
         return Xrec, mse
+
+    return eval_step
+
+
+def make_epoch_eval_step(model):
+    """The reference's PER-EPOCH monitoring eval, exactly: the model
+    never leaves train mode (reference main.py:236-246 wraps only
+    torch.no_grad()), so BatchNorm normalises the test batch with its own
+    statistics AND updates the running statistics - torch BN in train
+    mode updates running stats even under no_grad. Returns
+    eval_step(state, batch, key, L) -> (Xrec, mse, new_batch_stats);
+    fold new_batch_stats back into the TrainState to keep the checkpoint
+    trajectory reference-faithful. For frozen-VAE (--pretrained) runs use
+    make_eval_step instead (the reference sets the VAE to eval() there,
+    main.py:163-164)."""
+
+    @partial(jax.jit, static_argnums=(3,))
+    def eval_step(state: TrainState, batch, key, L: int = 1):
+        (Xrec, _, _, nfe), updates = model.apply(
+            {'params': state.vae_params, 'batch_stats': state.batch_stats},
+            batch, state.gp, key, L=L, train=True,
+            mutable=['batch_stats'])
+        mse = compute_test_error(batch, jnp.mean(Xrec, axis=0))
+        return Xrec, mse, updates['batch_stats']
 
     return eval_step
