@@ -71,3 +71,26 @@ def test_per_mc_sample_not_mc_mean():
     finally:
         trainer.make_eval_step = orig
     np.testing.assert_allclose(mse, per_sample, rtol=1e-6)
+
+
+def test_sigmoid_floor_mse():
+    """The metric floor is the pointwise-clip optimum: zero for data
+    inside the sigmoid range, exact quadratic excess outside."""
+    import numpy as np
+    from evaluate import sigmoid_floor_mse
+
+    inside = np.array([0.0, 0.25, 0.5, 1.0])
+    floor, _ = sigmoid_floor_mse(inside)
+    assert floor == 0.0
+
+    outside = np.array([-0.5, 2.0, 0.5, 1.0])
+    floor, std = sigmoid_floor_mse(outside)
+    np.testing.assert_allclose(floor, (0.25 + 1.0) / 4.0)
+    assert std > 0
+
+    # no model output in (0,1) can beat the floor
+    rng = np.random.RandomState(0)
+    x = rng.uniform(-0.42, 2.82, size=10000)
+    floor, _ = sigmoid_floor_mse(x)
+    z = rng.uniform(0, 1, size=10000)          # any sigmoid-range model
+    assert ((z - x) ** 2).mean() >= floor
