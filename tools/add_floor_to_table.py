@@ -13,6 +13,10 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')   # data-only; keep off the TPU
+
 import numpy as np  # noqa: E402
 
 from evaluate import sigmoid_floor_mse  # noqa: E402
