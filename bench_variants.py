@@ -42,6 +42,11 @@ parser.add_argument('--batch', type=int, default=20)
 parser.add_argument('--T', type=int, default=16)
 parser.add_argument('--M', type=int, default=100)
 parser.add_argument('--S', type=int, default=256)
+parser.add_argument('--scan', type=eval, default=False,
+                    help='measure the step inside a scanned epoch (true '
+                         'device speed; the per-step protocol is remote-'
+                         'dispatch-bound at ~1 ms/step and masks variant '
+                         'differences below that)')
 
 BATCH, T, Q, M, S = 20, 16, 6, 100, 256
 
@@ -55,7 +60,9 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.training.trainer import (
-        create_train_state, make_train_step)
+        create_train_state, make_train_step, _make_step_fn,
+        _make_epoch_fn)
+    from functools import partial as _partial
     from vae_gp_ode_tpu.ops import config as ops_config
     from vae_gp_ode_tpu.ops import pathwise
 
@@ -96,6 +103,7 @@ def main():
         """Compile + warm the train step for `name`; returns a zero-arg
         block runner giving steps/sec for one `--steps`-step block."""
         kw, restore = apply_variant(name)
+        EPOCH_I, EP_BLOCK = 18, 10
         try:
             model, variables, gp = init_model(
                 jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
@@ -103,18 +111,47 @@ def main():
                 solver='euler', remat=kw.get('remat', True),
                 kernel=kw.get('kernel', 'RBF'))
             state0, tx = create_train_state(model, variables, gp, lr=1e-3)
-            step = make_train_step(model, tx, num_observations=360.0,
-                                   eps_guard=True)
-            state = state0
-            for i in range(3):
-                state, m = step(state, X, jax.random.fold_in(key, i), L)
-            jax.block_until_ready(m['loss'])
+            if args.scan:
+                raw = _make_step_fn(model, tx, 360.0, True)
+                epoch = _partial(jax.jit, static_argnums=(3,))(
+                    _make_epoch_fn(raw))
+                batches = jax.random.uniform(
+                    jax.random.PRNGKey(9),
+                    (EPOCH_I, BATCH, T, 1, 28, 28))
+                batches = (batches - 0.1307) / 0.3081
+                state = state0
+                for i in range(2):
+                    state, m = epoch(state, batches,
+                                     jax.random.fold_in(key, i), L)
+                jax.block_until_ready(m['loss'])
+            else:
+                step = make_train_step(model, tx, num_observations=360.0,
+                                       eps_guard=True)
+                state = state0
+                for i in range(3):
+                    state, m = step(state, X, jax.random.fold_in(key, i),
+                                    L)
+                jax.block_until_ready(m['loss'])
         finally:
             restore()
             ops_config.set_use_pallas(None)
             ops_config.set_fuse_flow(False)
 
         box = {'state': state}
+
+        if args.scan:
+            def run_block():
+                st = box['state']
+                t0 = time.perf_counter()
+                for e in range(EP_BLOCK):
+                    st, m = epoch(st, batches,
+                                  jax.random.fold_in(key, 99 + e), L)
+                jax.block_until_ready(m['loss'])
+                dt = time.perf_counter() - t0
+                box['state'] = st
+                return EPOCH_I * EP_BLOCK / dt
+
+            return run_block
 
         def run_block():
             st = box['state']
