@@ -278,6 +278,17 @@ def main():
                                    freeze_vae=args.pretrained)
     frozen_vae_ref = jax.tree.map(np.asarray, state.vae_params) \
         if args.pretrained else None
+    if args.pretrained:
+        # device-side equality check: ONE boolean fetch per epoch instead
+        # of one fetch per parameter leaf (each costs a tunnel round-trip)
+        frozen_vae_dev = state.vae_params
+
+        @jax.jit
+        def frozen_vae_unchanged(cur):
+            eq = [jnp.array_equal(a, b) for a, b in
+                  zip(jax.tree_util.tree_leaves(cur),
+                      jax.tree_util.tree_leaves(frozen_vae_dev))]
+            return jnp.all(jnp.stack(eq))
 
     from vae_gp_ode_tpu.utils.summary import summarize
     logger.info('\n%s\n%s', summarize(state.vae_params, 'vae params'),
@@ -407,11 +418,18 @@ def main():
         L = 1 if ep < args.Nepoch // 2 else 5   # reference main.py:200
 
         if use_fast:
-            # whole-epoch scan: one device dispatch, metrics as arrays
+            # whole-epoch scan: one device dispatch, metrics as arrays.
+            # All five metric arrays come back in ONE fetch (each host
+            # round-trip over the remote-TPU link costs ~ms-30ms; five
+            # separate np.asarray calls were a measurable slice of the
+            # ~300 ms/epoch wall)
             key, k_ep = jax.random.split(key)
             batches = trainset.epoch_batches()
             state, metrics = train_epoch(state, batches, k_ep, L)
-            losses = np.asarray(metrics['loss'])
+            losses, nlls, kl_regs, kl_us, var_now = [
+                np.asarray(x) for x in jax.device_get(
+                    (metrics['loss'], metrics['nll'], metrics['kl_reg'],
+                     metrics['kl_u'], rbf_variance(state.gp.kernel)))]
             finite = np.isfinite(losses)
             if not finite.all():
                 if args.nan_policy == 'bailout':
@@ -420,10 +438,6 @@ def main():
                     'epoch %d: %d/%d steps produced a non-finite loss; '
                     'their updates were discarded (--nan_policy skip)',
                     ep, int((~finite).sum()), len(losses))
-            nlls = np.asarray(metrics['nll'])
-            kl_regs = np.asarray(metrics['kl_reg'])
-            kl_us = np.asarray(metrics['kl_u'])
-            var_now = np.asarray(rbf_variance(state.gp.kernel))
             for itr in range(len(losses)):
                 if not finite[itr]:
                     continue       # skipped step: keep meters finite
@@ -449,12 +463,11 @@ def main():
                             float(metrics['kl_u']),
                             np.asarray(rbf_variance(state.gp.kernel)))
 
-        # frozen-VAE sanity assertion (reference main.py:230-234)
+        # frozen-VAE sanity assertion (reference main.py:230-234);
+        # evaluated on device, one boolean fetch
         if args.pretrained:
-            for b, a in zip(jax.tree_util.tree_leaves(frozen_vae_ref),
-                            jax.tree_util.tree_leaves(state.vae_params)):
-                assert np.array_equal(b, np.asarray(a)), \
-                    'frozen VAE weights changed!'
+            assert bool(frozen_vae_unchanged(state.vae_params)), \
+                'frozen VAE weights changed!'
 
         if profiling:
             jax.profiler.stop_trace()
