@@ -176,7 +176,9 @@ def main():
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'baseline_source': baseline_source,
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
-                      f'L={L} euler; headline=--fast_epoch scanned path',
+                      f'L={L} euler; headline=--fast_epoch scanned path, '
+                      f'FETCH-FORCED timing (round-1 block-timed protocol '
+                      f'measured dispatch, not compute - see RESULTS.md)',
         },
     }
     print(json.dumps(result))
