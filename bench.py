@@ -77,8 +77,10 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     the train step lax.scanned over the epoch's stacked batches, one
     device dispatch per epoch (18 iters at the reference envelope:
     360 seqs / batch 20). This is what `python main.py` actually runs;
-    the per-step numbers in `extra` keep the round-1 protocol (one
-    host->device dispatch per step) for comparison."""
+    the per-step numbers in `extra` use the per-step-fetch protocol (one
+    dispatch AND one loss fetch per step - the reference trainer's own
+    pattern; round 1's block-timed protocol was unsound on this link,
+    see measure_jax_steps_per_sec)."""
     import jax
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.training.trainer import (

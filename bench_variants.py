@@ -60,9 +60,7 @@ def main():
         jax.config.update('jax_platforms', 'cpu')
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.training.trainer import (
-        create_train_state, make_train_step, _make_step_fn,
-        _make_epoch_fn)
-    from functools import partial as _partial
+        create_train_state, make_train_step, make_train_epoch)
     from vae_gp_ode_tpu.ops import config as ops_config
     from vae_gp_ode_tpu.ops import pathwise
 
@@ -112,9 +110,7 @@ def main():
                 kernel=kw.get('kernel', 'RBF'))
             state0, tx = create_train_state(model, variables, gp, lr=1e-3)
             if args.scan:
-                raw = _make_step_fn(model, tx, 360.0, True)
-                epoch = _partial(jax.jit, static_argnums=(3,))(
-                    _make_epoch_fn(raw))
+                epoch = make_train_epoch(model, tx, 360.0, True)
                 batches = jax.random.uniform(
                     jax.random.PRNGKey(9),
                     (EPOCH_I, BATCH, T, 1, 28, 28))
@@ -123,7 +119,7 @@ def main():
                 for i in range(2):
                     state, m = epoch(state, batches,
                                      jax.random.fold_in(key, i), L)
-                jax.block_until_ready(m['loss'])
+                    float(m['loss'][-1])
             else:
                 step = make_train_step(model, tx, num_observations=360.0,
                                        eps_guard=True)
@@ -141,12 +137,14 @@ def main():
 
         if args.scan:
             def run_block():
+                # fetch-forced: a value fetch per epoch proves completion
+                # (block_until_ready can return early over the tunnel)
                 st = box['state']
                 t0 = time.perf_counter()
                 for e in range(EP_BLOCK):
                     st, m = epoch(st, batches,
                                   jax.random.fold_in(key, 99 + e), L)
-                jax.block_until_ready(m['loss'])
+                    float(m['loss'][-1])
                 dt = time.perf_counter() - t0
                 box['state'] = st
                 return EPOCH_I * EP_BLOCK / dt

@@ -15,6 +15,7 @@ checkpoint.
 
 import argparse
 import json
+import types
 import os
 
 import numpy as np
@@ -92,13 +93,7 @@ def evaluate_one(args, model_path):
     from vae_gp_ode_tpu.utils import plotting
 
     with open(os.path.join(model_path, 'args.json')) as f:
-        train_args = json.load(f)
-
-    class A:
-        pass
-    ta = A()
-    for k, v in train_args.items():
-        setattr(ta, k, v)
+        ta = types.SimpleNamespace(**json.load(f))
 
     trainset, testset = load_data(ta)
     if args.batch:

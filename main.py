@@ -276,8 +276,6 @@ def main():
 
     state, tx = create_train_state(model, variables, gp, lr=args.lr,
                                    freeze_vae=args.pretrained)
-    frozen_vae_ref = jax.tree.map(np.asarray, state.vae_params) \
-        if args.pretrained else None
     if args.pretrained:
         # device-side equality check: ONE boolean fetch per epoch instead
         # of one fetch per parameter leaf (each costs a tunnel round-trip)

@@ -9,6 +9,7 @@ evaluation needed, the floor is a pure property of the data.
 import json
 import os
 import sys
+import types
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -29,13 +30,7 @@ def main(path='results/quality_table_r2.jsonl'):
     for row in rows:
         args_json = os.path.join(row['model_path'], 'args.json')
         ta = json.load(open(args_json))
-
-        class A:
-            pass
-        a = A()
-        for k, v in ta.items():
-            setattr(a, k, v)
-        _, testset = load_data(a)
+        _, testset = load_data(types.SimpleNamespace(**ta))
         floor, _ = sigmoid_floor_mse(np.asarray(testset.X))
         row['mse_floor'] = round(floor, 6)
         row['mse_excess'] = round(row['mse_mean'] - floor, 6)
