@@ -62,21 +62,24 @@ def interpret_mode():
         return True
 
 
-_fuse_flow = False
+_fuse_flow = True
 
 
 def fuse_flow():
-    """True if whole-trajectory kernel fusion is enabled. Off by default:
-    standalone, the fused forward+Pallas-discrete-adjoint backward beats
-    the XLA scan 1.6x (908 vs 1440 us on the trajectory gradient). The
-    round-1 scatter-built operand packing made it 5x slower inside the
-    vmapped train step; the round-2 scatter-free rewrite removed that
-    regression, but inside the full train step it now only matches the
-    per-step path (interleaved A/B on TPU v5e: median fuseflow/pallas
-    ratio 0.995 at L=1 and L=5, `bench_variants.py --ab pallas
-    fuseflow`) - the step is latency-floor-bound at the reference
-    envelope, so there is no train-step win to justify a default flip.
-    Enable for standalone trajectory-gradient workloads."""
+    """True if whole-trajectory kernel fusion is enabled (euler/dense=1/
+    dimwise-RBF trajectories run as ONE Pallas program with the
+    hand-written discrete-adjoint backward; see dynamics/flow.py:47).
+
+    DEFAULT ON since round 2: under the fetch-forced timing protocol
+    (the sound one on this link - see bench.py) the fused kernel wins
+    the FULL train step by 1.14x at L=1 and 1.36x at L=5 over the
+    per-step Pallas path (interleaved A/B, 16 rounds, ratio ranges
+    [1.06, 1.20] / [1.29, 1.41]: `bench_variants.py --scan True --ab
+    pallas fuseflow`). Round 1's "5x slower in-step" was the
+    scatter-built operand packing (fixed in 8551cff) measured under the
+    unsound block-timed protocol. Non-applicable configurations
+    (other solvers, DF kernel, dense>1) fall back to the scan solvers
+    automatically."""
     return _fuse_flow
 
 
