@@ -19,7 +19,10 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               '.bench_baseline.json')
 
 
-def measure_jax_steps_per_sec(steps=40, warmup=3, reps=5):
+def measure_jax_steps_per_sec(steps=20, warmup=3, reps=2):
+    # (modest steps/reps: this phase is informational - the headline is
+    # the scanned path - and at ~30 ms per fetch-forced step it would
+    # otherwise dominate bench wall-clock)
     import jax
     import jax.numpy as jnp
     from vae_gp_ode_tpu.models.odegpvae import init_model
