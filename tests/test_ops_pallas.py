@@ -288,6 +288,133 @@ def test_fused_euler_flow_vmapped_L_grads():
                                    rtol=1e-3, atol=1e-5)
 
 
+def _flow_args(key, N, S=8, M=6, D=3):
+    ks = jax.random.split(key, 8)
+    return (jax.random.normal(ks[0], (N, D)) * 0.5,
+            jax.random.normal(ks[1], (D, S, D)),
+            jax.random.uniform(ks[2], (1, S, D)) * 6.28,
+            jax.random.normal(ks[3], (S, D)),
+            jax.random.normal(ks[4], (M, D)),
+            jax.random.normal(ks[5], (D, M)) * 0.1,
+            jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=2.0),
+            jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0))
+
+
+def test_fused_euler_flow_tiled_grid(monkeypatch):
+    """Round-2 VERDICT #1 regression: the fused trajectory kernel was a
+    single-block VMEM program that failed to compile at batch >= 1280 on
+    the real chip. The fix grid-tiles the batch (rows are independent
+    trajectories) with zero-padding for ragged tails. Shrinks the tile
+    constants so interpret mode exercises the tiled fwd+bwd path with a
+    ragged final tile, for both ODE orders, including grads."""
+    from vae_gp_ode_tpu.ops import flow_fused as ff
+    monkeypatch.setattr(ff, '_SINGLE_BLOCK_N', 4)
+    monkeypatch.setattr(ff, '_TILE_N', 4)
+    T = 5
+    # N=10 -> 3 tiles of 4 with 2 padded rows
+    args = _flow_args(jax.random.PRNGKey(10), N=10)
+    out = ff.fused_euler_flow(*args, 0.1, T, 1, True)
+    ref = ff.euler_flow_reference(*args, 0.1, T, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    gf = jax.grad(lambda *a: jnp.sum(
+        ff.fused_euler_flow(*a, 0.1, T, 1, True) ** 2),
+        argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *a: jnp.sum(
+        ff.euler_flow_reference(*a, 0.1, T, 1) ** 2),
+        argnums=tuple(range(8)))(*args)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+    # order 2, ragged tiling
+    ks = jax.random.split(jax.random.PRNGKey(11), 8)
+    q, S, M, N = 2, 8, 6, 7
+    args2 = (jax.random.normal(ks[0], (N, 2 * q)) * 0.5,
+             jax.random.normal(ks[1], (2 * q, S, q)),
+             jax.random.uniform(ks[2], (1, S, q)) * 6.28,
+             jax.random.normal(ks[3], (S, q)),
+             jax.random.normal(ks[4], (M, 2 * q)),
+             jax.random.normal(ks[5], (q, M)) * 0.1,
+             jax.random.uniform(ks[6], (q, 2 * q), minval=0.8, maxval=2.0),
+             jax.random.uniform(ks[7], (q,), minval=0.3, maxval=1.0))
+    out2 = ff.fused_euler_flow(*args2, 0.1, T, 2, True)
+    ref2 = ff.euler_flow_reference(*args2, 0.1, T, 2)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               rtol=2e-4, atol=2e-5)
+    gf2 = jax.grad(lambda *a: jnp.sum(
+        ff.fused_euler_flow(*a, 0.1, T, 2, True) ** 2),
+        argnums=tuple(range(8)))(*args2)
+    gr2 = jax.grad(lambda *a: jnp.sum(
+        ff.euler_flow_reference(*a, 0.1, T, 2) ** 2),
+        argnums=tuple(range(8)))(*args2)
+    for a, b in zip(gf2, gr2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_fused_euler_flow_tiled_vmapped_L(monkeypatch):
+    """Tiled kernel under the production L-vmap: the slab-based parameter
+    cotangents must stay correct when vmap prepends its own grid
+    dimension (the reason the backward avoids cross-program
+    accumulation)."""
+    from vae_gp_ode_tpu.ops import flow_fused as ff
+    monkeypatch.setattr(ff, '_SINGLE_BLOCK_N', 4)
+    monkeypatch.setattr(ff, '_TILE_N', 4)
+    ks = jax.random.split(jax.random.PRNGKey(12), 8)
+    N, S, M, D, T, L = 6, 8, 6, 3, 4, 2
+    z0 = jax.random.normal(ks[0], (N, D)) * 0.5
+    omega = jax.random.normal(ks[1], (L, D, S, D))
+    phase = jax.random.uniform(ks[2], (L, 1, S, D)) * 6.28
+    weights = jax.random.normal(ks[3], (L, S, D))
+    Z = jax.random.normal(ks[4], (M, D))
+    nu = jax.random.normal(ks[5], (L, D, M)) * 0.1
+    ls = jax.random.uniform(ks[6], (D, D), minval=0.8, maxval=2.0)
+    var = jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0)
+
+    def loss(flow_fn, z0, omega, phase, weights, Z, nu, ls, var):
+        zs = jax.vmap(
+            lambda om, ph, w, n: flow_fn(z0, om, ph, w, Z, n, ls, var),
+        )(omega, phase, weights, nu)
+        return jnp.sum(zs ** 2)
+
+    fused = lambda *a: ff.fused_euler_flow(*a, 0.1, T, 1, True)  # noqa: E731
+    ref = lambda *a: ff.euler_flow_reference(*a, 0.1, T, 1)      # noqa: E731
+    args = (z0, omega, phase, weights, Z, nu, ls, var)
+    vf, gf = jax.value_and_grad(
+        lambda *a: loss(fused, *a), argnums=tuple(range(8)))(*args)
+    vr, gr = jax.value_and_grad(
+        lambda *a: loss(ref, *a), argnums=tuple(range(8)))(*args)
+    np.testing.assert_allclose(float(vf), float(vr), rtol=1e-4)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_fused_euler_flow_large_batch_real_tiles():
+    """The real >_SINGLE_BLOCK_N dispatch (no monkeypatching): N=600 takes
+    the 256-row grid path with a ragged 88-row tail. Forward parity plus
+    one gradient; pins the shipped-default dispatch decision that
+    VERDICT round 2 found broken at large batch."""
+    from vae_gp_ode_tpu.ops.flow_fused import (
+        fused_euler_flow, euler_flow_reference)
+    T = 3
+    args = _flow_args(jax.random.PRNGKey(13), N=600)
+    out = fused_euler_flow(*args, 0.1, T, 1, True)
+    ref = euler_flow_reference(*args, 0.1, T, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    gf = jax.grad(lambda w: jnp.sum(
+        fused_euler_flow(args[0], args[1], args[2], w, *args[4:],
+                         0.1, T, 1, True) ** 2))(args[3])
+    gr = jax.grad(lambda w: jnp.sum(
+        euler_flow_reference(args[0], args[1], args[2], w, *args[4:],
+                             0.1, T, 1) ** 2))(args[3])
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-3, atol=1e-5)
+
+
 def _df_operands(key, N=5, S=8, M=7, D=4):
     ks = jax.random.split(key, 8)
     x = jax.random.normal(ks[0], (N, D)) * 0.5

@@ -160,21 +160,73 @@ def _make_kernel(T, order, K, S, M):
     return kernel
 
 
+# Above this batch size the single-block program's (N, K*S) step
+# intermediates overflow VMEM (measured on a real v5e: N=1280 at
+# K=6/S=256 fails remote compilation); the grid-tiled variant below
+# keeps every per-program intermediate at (TILE, K*S). TILE=128 is the
+# largest measured-safe tile: at 256 the BACKWARD kernel (~12 live
+# (TILE, K*S) intermediates + the cotangent carry) still crashes the
+# v5e compiler, while 128 compiles and runs at N=5120.
+_SINGLE_BLOCK_N = 512
+_TILE_N = 128
+
+
+def _pad_rows(x, rows):
+    """Zero-pad the leading axis to `rows`. Zero rows integrate to finite
+    trajectories (forward) and carry zero cotangents (backward), so
+    padding never contaminates real outputs/gradients."""
+    if x.shape[0] == rows:
+        return x
+    pad = jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)
+    return jnp.concatenate([x, pad], axis=0)
+
+
 def _pallas_flow_packed(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T, order,
                         interpret=False):
     N, D = z0.shape
     K = D // 2 if order == 2 else D
     S = ws.shape[1] // K
     M = nus.shape[1] // K
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
-        pl.BlockSpec(memory_space=pltpu.SMEM)]
-    return pl.pallas_call(
+    if N <= _SINGLE_BLOCK_N:
+        # single-block fast path (a grid adds overhead at training N)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 8 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)]
+        return pl.pallas_call(
+            _make_kernel(T, order, K, S, M),
+            out_shape=jax.ShapeDtypeStruct((T, N, D), z0.dtype),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+        )(z0, omf, phf, ws, Zb, zn, il2, nus, dts)
+    # grid-tile the batch: each row's trajectory is independent, so each
+    # grid program integrates one tile of rows with the (small) GP
+    # operands replicated per program
+    tile = _TILE_N
+    n_tiles = pl.cdiv(N, tile)
+    Np = n_tiles * tile
+    z0p = _pad_rows(z0, Np)
+    rep2 = lambda i: (0, 0)           # noqa: E731 (operand replicated)
+    in_specs = [
+        pl.BlockSpec((tile, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(omf.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(phf.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(ws.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(Zb.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zn.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(il2.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(nus.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(dts.shape, lambda i: (0,), memory_space=pltpu.SMEM),
+    ]
+    zs = pl.pallas_call(
         _make_kernel(T, order, K, S, M),
-        out_shape=jax.ShapeDtypeStruct((T, N, D), z0.dtype),
+        grid=(n_tiles,),
+        out_shape=jax.ShapeDtypeStruct((T, Np, D), z0.dtype),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((T, tile, D), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(z0, omf, phf, ws, Zb, zn, il2, nus, dts)
+    )(z0p, omf, phf, ws, Zb, zn, il2, nus, dts)
+    return zs[:, :N]
 
 
 def _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T, order,
@@ -222,18 +274,25 @@ def packed_flow_reference(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T,
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
-def _make_bwd_kernel(T, order, K, S, M):
+def _make_bwd_kernel(T, order, K, S, M, slab=False):
     """Discrete adjoint of the packed euler flow, one Pallas program.
 
     Walks t = T-2 .. 0, recomputing the step's forward intermediates from
-    the saved state (cheaper than storing (N, K*S) activations), and
-    accumulates all parameter cotangents in VMEM with MXU matmuls:
+    the saved state (cheaper than storing (N, K*S) activations). The
+    parameter cotangents ride the fori_loop carry (VMEM values) and are
+    written once at the end:
 
       g_t = zsbar[t] + g_{t+1} + dt * (d rhs/d z_t)^T g_{t+1}
       param_bar += dt * (d rhs/d param)^T g_{t+1}
 
     Cotangents come out in the UNPACKED row-vector shapes (ws/nus/zn as
     (1, K*S)/(1, K*M)) so the outer packing VJP is scatter-free.
+
+    `slab=True` is the grid-tiled variant: the parameter-cotangent output
+    refs carry a leading length-1 slab axis (one slab per batch tile; the
+    wrapper sums the slabs), which keeps every grid program's writes
+    disjoint - no cross-program accumulation, so the kernel stays valid
+    under the outer L-vmap (which prepends its own grid dimension).
     """
 
     def kernel(zs_ref, zsbar_ref, omf_ref, phf_ref, ws_ref, zb_ref,
@@ -253,19 +312,13 @@ def _make_bwd_kernel(T, order, K, S, M):
         Es = _expand_mask(K, S, f32)          # (K, K*S)
         Em = _expand_mask(K, M, f32)          # (K, K*M)
 
-        omfbar_ref[:] = jnp.zeros_like(omfbar_ref)
-        phfbar_ref[:] = jnp.zeros_like(phfbar_ref)
-        wsbar_ref[:] = jnp.zeros_like(wsbar_ref)
-        zbbar_ref[:] = jnp.zeros_like(zbbar_ref)
-        znbar_ref[:] = jnp.zeros_like(znbar_ref)
-        il2bar_ref[:] = jnp.zeros_like(il2bar_ref)
-        nusbar_ref[:] = jnp.zeros_like(nusbar_ref)
-
         def mm(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32,
                            precision=_HI)
 
-        def body(i, g):
+        def body(i, carry):
+            (g, omfbar, phfbar, wsbar, zbbar, znbar, il2bar,
+             nusbar) = carry
             t = T - 2 - i
             dt = dts_ref[t]
             z = zs_ref[pl.ds(t, 1)][0]          # (N, D)
@@ -284,41 +337,73 @@ def _make_bwd_kernel(T, order, K, S, M):
 
             if order == 2:
                 # rhs = concat(z[:, K:], f); d/d(dt_t) uses the full rhs
-                dtsbar_ref[pl.ds(t, 1)] = (
-                    jnp.sum(g[:, :K] * z[:, K:])
-                    + jnp.sum(g[:, K:] * f)).reshape(1, 1)
+                dtv = (jnp.sum(g[:, :K] * z[:, K:])
+                       + jnp.sum(g[:, K:] * f)).reshape(1, 1)
                 fbar = dt * g[:, K:]            # (N, K)
             else:
-                dtsbar_ref[pl.ds(t, 1)] = jnp.sum(g * f).reshape(1, 1)
+                dtv = jnp.sum(g * f).reshape(1, 1)
                 fbar = dt * g                   # (N, K)
+            # dtsbar goes straight to the output ref (each (program, t)
+            # slot is written exactly once; a carried accumulator would
+            # need dynamic_update_slice, which Pallas TPU cannot lower)
+            if slab:
+                dtsbar_ref[:, pl.ds(t, 1)] = dtv.reshape(1, 1, 1)
+            else:
+                dtsbar_ref[pl.ds(t, 1)] = dtv
 
             # --- vjp through feval (input cotangent into z, param accums)
             Gbar = mm(fbar, Em)                 # (N, KM)
-            nusbar_ref[:] += jnp.sum(Kxz * Gbar, axis=0, keepdims=True)
+            nusbar = nusbar + jnp.sum(Kxz * Gbar, axis=0, keepdims=True)
             Kxzbar = nus * Gbar
             sqbar = -0.5 * Kxz * Kxzbar         # (N, KM)
-            znbar_ref[:] += jnp.sum(sqbar, axis=0, keepdims=True)
-            il2bar_ref[:] += mm((z * z).T, sqbar)
-            zbbar_ref[:] += mm(z.T, -2.0 * sqbar)
+            znbar = znbar + jnp.sum(sqbar, axis=0, keepdims=True)
+            il2bar = il2bar + mm((z * z).T, sqbar)
+            zbbar = zbbar + mm(z.T, -2.0 * sqbar)
             zvec = 2.0 * z * mm(sqbar, il2.T) + mm(-2.0 * sqbar, Zb.T)
 
             phibar = mm(fbar, Es)               # (N, KS)
-            wsbar_ref[:] += jnp.sum(cosv * phibar, axis=0, keepdims=True)
+            wsbar = wsbar + jnp.sum(cosv * phibar, axis=0, keepdims=True)
             cosbar = ws * phibar
             xobar = -sinv * cosbar              # (N, KS)
-            phfbar_ref[:] += jnp.sum(xobar, axis=0, keepdims=True)
-            omfbar_ref[:] += mm(z.T, xobar)
+            phfbar = phfbar + jnp.sum(xobar, axis=0, keepdims=True)
+            omfbar = omfbar + mm(z.T, xobar)
             zvec = zvec + mm(xobar, omf.T)      # (N, D)
 
             # --- chain to g_t
             g_new = zsbar_ref[pl.ds(t, 1)][0] + g + zvec
             if order == 2:
-                g_new = g_new.at[:, K:].add(dt * g[:, :K])
-            return g_new
+                # static-slice concat, not .at[].add: scatter-add does
+                # not lower in Pallas TPU (interpret mode hides this)
+                g_new = jnp.concatenate(
+                    [g_new[:, :K], g_new[:, K:] + dt * g[:, :K]], axis=1)
+            return (g_new, omfbar, phfbar, wsbar, zbbar, znbar, il2bar,
+                    nusbar)
 
-        g0 = jax.lax.fori_loop(
-            0, T - 1, body, zsbar_ref[pl.ds(T - 1, 1)][0])
+        D = K * order
+        init = (zsbar_ref[pl.ds(T - 1, 1)][0],
+                jnp.zeros((D, K * S), f32), jnp.zeros((1, K * S), f32),
+                jnp.zeros((1, K * S), f32), jnp.zeros((D, K * M), f32),
+                jnp.zeros((1, K * M), f32), jnp.zeros((D, K * M), f32),
+                jnp.zeros((1, K * M), f32))
+        (g0, omfbar, phfbar, wsbar, zbbar, znbar, il2bar,
+         nusbar) = jax.lax.fori_loop(0, T - 1, body, init)
         z0bar_ref[:] = g0
+        if slab:
+            omfbar_ref[:] = omfbar[None]
+            phfbar_ref[:] = phfbar[None]
+            wsbar_ref[:] = wsbar[None]
+            zbbar_ref[:] = zbbar[None]
+            znbar_ref[:] = znbar[None]
+            il2bar_ref[:] = il2bar[None]
+            nusbar_ref[:] = nusbar[None]
+        else:
+            omfbar_ref[:] = omfbar
+            phfbar_ref[:] = phfbar
+            wsbar_ref[:] = wsbar
+            zbbar_ref[:] = zbbar
+            znbar_ref[:] = znbar
+            il2bar_ref[:] = il2bar
+            nusbar_ref[:] = nusbar
 
     return kernel
 
@@ -330,27 +415,89 @@ def _pallas_flow_bwd(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus, dts, T,
     KS = ws.shape[1]
     KM = nus.shape[1]
     f32 = zs.dtype
+    if N <= _SINGLE_BLOCK_N:
+        out_shapes = (
+            jax.ShapeDtypeStruct((N, D), f32),       # z0bar
+            jax.ShapeDtypeStruct((D, KS), f32),      # omfbar
+            jax.ShapeDtypeStruct((1, KS), f32),      # phfbar
+            jax.ShapeDtypeStruct((1, KS), f32),      # wsbar
+            jax.ShapeDtypeStruct((D, KM), f32),      # zbbar
+            jax.ShapeDtypeStruct((1, KM), f32),      # znbar
+            jax.ShapeDtypeStruct((D, KM), f32),      # il2bar
+            jax.ShapeDtypeStruct((1, KM), f32),      # nusbar
+            jax.ShapeDtypeStruct((T - 1, 1), f32),   # dtsbar
+        )
+        in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
+            pl.BlockSpec(memory_space=pltpu.SMEM)]
+        return pl.pallas_call(
+            _make_bwd_kernel(T, order, K, KS // K, KM // K),
+            out_shape=out_shapes,
+            in_specs=in_specs,
+            out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
+                            for _ in out_shapes),
+            interpret=interpret,
+        )(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus, dts)
+
+    # grid-tiled: per-tile z0bar blocks; parameter cotangents come out as
+    # one slab per tile (disjoint writes) and are summed here. Zero-padded
+    # rows carry zero cotangents end-to-end (every param contribution in
+    # the kernel scales with that row's g, which starts and stays 0).
+    tile = _TILE_N
+    n_tiles = pl.cdiv(N, tile)
+    Np = n_tiles * tile
+    zsp = _pad_rows(jnp.transpose(zs, (1, 0, 2)), Np)
+    zsp = jnp.transpose(zsp, (1, 0, 2))
+    zsbarp = _pad_rows(jnp.transpose(zsbar, (1, 0, 2)), Np)
+    zsbarp = jnp.transpose(zsbarp, (1, 0, 2))
     out_shapes = (
-        jax.ShapeDtypeStruct((N, D), f32),       # z0bar
-        jax.ShapeDtypeStruct((D, KS), f32),      # omfbar
-        jax.ShapeDtypeStruct((1, KS), f32),      # phfbar
-        jax.ShapeDtypeStruct((1, KS), f32),      # wsbar
-        jax.ShapeDtypeStruct((D, KM), f32),      # zbbar
-        jax.ShapeDtypeStruct((1, KM), f32),      # znbar
-        jax.ShapeDtypeStruct((D, KM), f32),      # il2bar
-        jax.ShapeDtypeStruct((1, KM), f32),      # nusbar
-        jax.ShapeDtypeStruct((T - 1, 1), f32),   # dtsbar
+        jax.ShapeDtypeStruct((Np, D), f32),               # z0bar
+        jax.ShapeDtypeStruct((n_tiles, D, KS), f32),      # omfbar slabs
+        jax.ShapeDtypeStruct((n_tiles, 1, KS), f32),      # phfbar
+        jax.ShapeDtypeStruct((n_tiles, 1, KS), f32),      # wsbar
+        jax.ShapeDtypeStruct((n_tiles, D, KM), f32),      # zbbar
+        jax.ShapeDtypeStruct((n_tiles, 1, KM), f32),      # znbar
+        jax.ShapeDtypeStruct((n_tiles, D, KM), f32),      # il2bar
+        jax.ShapeDtypeStruct((n_tiles, 1, KM), f32),      # nusbar
+        jax.ShapeDtypeStruct((n_tiles, T - 1, 1), f32),   # dtsbar
     )
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * 9 + [
-        pl.BlockSpec(memory_space=pltpu.SMEM)]
-    return pl.pallas_call(
-        _make_bwd_kernel(T, order, K, KS // K, KM // K),
+    rep2 = lambda i: (0, 0)           # noqa: E731
+    tile3 = lambda i: (i, 0, 0)       # noqa: E731
+    in_specs = [
+        pl.BlockSpec((T, tile, D), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((T, tile, D), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(omf.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(phf.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(ws.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(Zb.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(zn.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(il2.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(nus.shape, rep2, memory_space=pltpu.VMEM),
+        pl.BlockSpec(dts.shape, lambda i: (0,), memory_space=pltpu.SMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((tile, D), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, KS), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KS), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KS), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, KM), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KM), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, KM), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, KM), tile3, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, T - 1, 1), tile3, memory_space=pltpu.VMEM),
+    )
+    outs = pl.pallas_call(
+        _make_bwd_kernel(T, order, K, KS // K, KM // K, slab=True),
+        grid=(n_tiles,),
         out_shape=out_shapes,
         in_specs=in_specs,
-        out_specs=tuple(pl.BlockSpec(memory_space=pltpu.VMEM)
-                        for _ in out_shapes),
+        out_specs=out_specs,
         interpret=interpret,
-    )(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus, dts)
+    )(zsp, zsbarp, omf, phf, ws, Zb, zn, il2, nus, dts)
+    z0bar = outs[0][:N]
+    return (z0bar,) + tuple(jnp.sum(o, axis=0) for o in outs[1:])
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))

@@ -38,12 +38,19 @@ def _treedef_fingerprint(tree):
 
 
 def _validate_like(leaves, like, src_fingerprint=None):
-    """Raise if `leaves` cannot safely be reattached to `like`'s treedef."""
+    """Raise if `leaves` cannot safely be reattached to `like`'s treedef.
+
+    Returns the leaves, with integer leaves cast to the target's integer
+    width when the values round-trip losslessly (int64 step counters
+    saved on another numpy/platform must still restore into an int32
+    target); genuine float/int kind mismatches and lossy casts refuse.
+    """
     like_leaves = jax.tree_util.tree_leaves(like)
     if len(leaves) != len(like_leaves):
         raise ValueError(
             f'checkpoint/model structure mismatch: checkpoint has '
             f'{len(leaves)} leaves, target has {len(like_leaves)}')
+    out = []
     for i, (a, b) in enumerate(zip(leaves, like_leaves)):
         a_shape = np.shape(a)
         b_shape = np.shape(b)
@@ -52,13 +59,23 @@ def _validate_like(leaves, like, src_fingerprint=None):
                 f'checkpoint/model structure mismatch at leaf {i}: '
                 f'checkpoint shape {a_shape} vs target shape {b_shape} - '
                 f'refusing to reattach by flat order')
-        a_dt = np.asarray(a).dtype
+        a_arr = np.asarray(a)
+        a_dt = a_arr.dtype
         b_dt = np.asarray(b).dtype
         if a_dt != b_dt:
+            if a_dt.kind in 'iu' and b_dt.kind in 'iu':
+                cast = a_arr.astype(b_dt)
+                if not np.array_equal(cast.astype(a_dt), a_arr):
+                    raise ValueError(
+                        f'checkpoint leaf {i}: integer value does not fit '
+                        f'target dtype {b_dt} (saved as {a_dt})')
+                out.append(cast)
+                continue
             raise ValueError(
                 f'checkpoint/model structure mismatch at leaf {i}: '
                 f'checkpoint dtype {a_dt} vs target dtype {b_dt} - '
                 f'refusing to reattach by flat order')
+        out.append(a)
     if src_fingerprint is not None:
         tgt = _treedef_fingerprint(like)
         if src_fingerprint != tgt:

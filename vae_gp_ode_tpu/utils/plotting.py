@@ -62,11 +62,14 @@ def plot_rand_rot_mnist(X, Xrec, fname='rand_rot_mnist.png', rows=4):
     including its skip-one-frame-per-row index advance)."""
     X = np.asarray(X)
     Xrec = np.asarray(Xrec)
-    N = min(X.shape[0], 4)
     # the walk consumes N+1 flat frames per row (the reference's
-    # skip-one advance); clamp rows so small inputs don't run off the end
+    # skip-one advance); clamp BOTH the columns and the rows to the
+    # available frames so small inputs never run off the end
     frames = min(X.shape[0], Xrec.shape[0])
-    rows = max(1, min(rows, (frames + 1) // (N + 1))) if N else 1
+    N = min(frames, 4)
+    if N == 0:
+        return
+    rows = max(1, min(rows, (frames + 1) // (N + 1)))
     plt.figure(2, (N, 3 * rows))
     idx_x = idx_rec = 0
     for r in range(rows):
