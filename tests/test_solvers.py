@@ -162,7 +162,10 @@ def test_dopri5_against_scipy_rk45_oracle(z0):
         return jnp.stack([v, -x - 0.1 * v - 0.5 * x ** 3], axis=-1)
 
     ts = np.linspace(0.0, 5.0, 11)
-    for tol, max_err, nfe_ratio in ((1e-5, 1e-4, 1.5), (1e-6, 3e-5, 1.5)):
+    # nfe within 1.2x of scipy at matched tolerances (round-2 VERDICT #6:
+    # the plain-I controller needed 1.5x; the PI controller + Hairer
+    # initial step close the gap)
+    for tol, max_err, nfe_ratio in ((1e-5, 1e-4, 1.2), (1e-6, 3e-5, 1.2)):
         sol_j = odeint(rhs_jx, z0, jnp.asarray(ts), method='dopri5',
                        rtol=tol, atol=tol, max_steps=4096)
         sol_s = solve_ivp(rhs_np, (0.0, 5.0),

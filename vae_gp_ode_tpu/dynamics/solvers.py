@@ -294,20 +294,49 @@ def _dp_stages(f, t, z, dt, k1):
     return ks
 
 
+def _hairer_initial_step(f, t0, z0, f0, rtol, atol):
+    """Automatic initial step size (Hairer, Norsett & Wanner, Solving ODEs
+    I, sec. II.4; the same algorithm as scipy's _select_initial_step):
+    estimate the scale of z and dz, probe one explicit-Euler step, bound
+    h by the observed second-derivative proxy. Costs one extra RHS eval.
+    Order exponent 1/5 = 1/(err_estimator_order + 1) for RK45."""
+    scale = atol + jnp.abs(z0) * rtol
+    d0 = jnp.sqrt(jnp.mean((z0 / scale) ** 2))
+    d1 = jnp.sqrt(jnp.mean((f0 / scale) ** 2))
+    h0 = jnp.where((d0 < 1e-5) | (d1 < 1e-5), 1e-6, 0.01 * d0 / d1)
+    f1 = f(t0 + h0, z0 + h0 * f0)
+    d2 = jnp.sqrt(jnp.mean(((f1 - f0) / scale) ** 2)) / h0
+    dmax = jnp.maximum(d1, d2)
+    h1 = jnp.where(dmax <= 1e-15,
+                   jnp.maximum(1e-6, h0 * 1e-3),
+                   (0.01 / dmax) ** 0.2)
+    return jax.lax.stop_gradient(jnp.minimum(100.0 * h0, h1))
+
+
+# Lund-stabilised PI step controller constants (Hairer's dopri5.f):
+# factor = err^EXPO1 / facold^BETA / SAFE, clipped so h grows <= 10x and
+# shrinks <= 5x per step; facold carries the previous ACCEPTED error.
+_PI_SAFE = 0.9
+_PI_BETA = 0.04
+_PI_EXPO1 = 0.2 - _PI_BETA * 0.75
+_PI_FAC_MIN = 0.1     # 1/10  -> h at most *10
+_PI_FAC_MAX = 5.0     # 1/0.2 -> h at least /5
+
+
 def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
     T = ts.shape[0]
     t0, t_end = ts[0], ts[-1]
     dtype = z0.dtype
 
     f0 = f(t0, z0)
-    # conservative initial step: a fraction of the first output interval
-    dt0 = jnp.maximum((ts[1] - ts[0]) * 0.1, 1e-6)
+    dt0 = jnp.minimum(_hairer_initial_step(f, t0, z0, f0, rtol, atol),
+                      jnp.abs(t_end - t0))
 
     zs_init = jnp.zeros((T,) + z0.shape, dtype).at[0].set(z0)
     filled_init = jnp.zeros((T,), bool).at[0].set(True)
 
     def step(carry, _):
-        t, z, k1, dt, zs, filled, nfe, done = carry
+        t, z, k1, dt, facold, zs, filled, nfe, done = carry
 
         ks = _dp_stages(f, t, z, dt, k1)
         z5 = z + dt * sum(b * k for b, k in zip(_DP_B5, ks))
@@ -336,9 +365,17 @@ def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
         zs = jnp.where(in_window.reshape(bshape), interp, zs)
         filled = filled | in_window
 
-        # PI-free step-size control with safety factor
-        factor = jnp.clip(0.9 * (err_norm + 1e-10) ** (-0.2), 0.2, 5.0)
-        dt_new = dt * factor
+        # Lund-stabilised PI step control (Hairer dopri5.f): the accepted
+        # branch damps oscillation with the previous accepted error; the
+        # rejected branch is plain I-control with no growth allowed
+        fac11 = (err_norm + 1e-30) ** _PI_EXPO1
+        fac_acc = jnp.clip(fac11 / (facold ** _PI_BETA) / _PI_SAFE,
+                           _PI_FAC_MIN, _PI_FAC_MAX)
+        fac_rej = jnp.minimum(_PI_FAC_MAX, fac11 / _PI_SAFE)
+        dt_new = jnp.where(accept, dt / fac_acc,
+                           dt / jnp.maximum(fac_rej, 1.0))
+        facold_next = jnp.where(accept, jnp.maximum(err_norm, 1e-4),
+                                facold)
         # do not step far past the end
         active = ~done
         t_next = jnp.where(accept & active, t_new, t)
@@ -351,15 +388,15 @@ def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
         dt_next = jax.lax.stop_gradient(jnp.maximum(dt_next, 1e-8))
         done_next = done | (t_next >= t_end - 1e-12)
         nfe = nfe + jnp.where(active, 6, 0)   # FSAL: 6 new evals per try
-        return (t_next, z_next, k1_next, dt_next, zs, filled, nfe,
-                done_next), None
+        return (t_next, z_next, k1_next, dt_next, facold_next, zs, filled,
+                nfe, done_next), None
 
     if remat:
         step = jax.checkpoint(step)
 
-    carry0 = (t0, z0, f0, dt0, zs_init, filled_init, jnp.asarray(1),
-              jnp.asarray(False))
-    (tf, zf, _, _, zs, filled, nfe, done), _ = jax.lax.scan(
+    carry0 = (t0, z0, f0, dt0, jnp.asarray(1e-4, dtype), zs_init,
+              filled_init, jnp.asarray(2), jnp.asarray(False))
+    (tf, zf, _, _, _, zs, filled, nfe, done), _ = jax.lax.scan(
         step, carry0, None, length=max_steps)
     # any unfilled outputs (max_steps exhausted): clamp to final state
     bshape = (T,) + (1,) * z0.ndim
