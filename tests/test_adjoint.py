@@ -114,7 +114,8 @@ def test_adjoint_nonautonomous_grads(method):
     np.testing.assert_allclose(ga, gd, rtol=tol)
 
 
-@pytest.mark.parametrize('method', ['dopri5', 'fixed_adams', 'bdf'])
+@pytest.mark.parametrize('method', ['dopri5', 'fixed_adams', 'bdf',
+                                    'adams'])
 def test_adjoint_adaptive_and_multistep_grads(method):
     """VERDICT round-1 item 4: --use_adjoint with dopri5 (and the other
     non-single-step solvers) - the backward pass integrates the ravelled
