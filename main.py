@@ -205,7 +205,7 @@ def main():
     from vae_gp_ode_tpu.core.transforms import invsoftplus
     from vae_gp_ode_tpu.training.trainer import (
         create_train_state, make_train_step, make_eval_step,
-        make_epoch_eval_step)
+        make_epoch_eval_step, run_epoch_with_tail)
     from vae_gp_ode_tpu.training import checkpoint as ckpt
     from vae_gp_ode_tpu.training.meters import (
         CachedRunningAverageMeter, CachedAverageMeter, CachedHyperparams)
@@ -422,8 +422,20 @@ def main():
             # separate np.asarray calls were a measurable slice of the
             # ~300 ms/epoch wall)
             key, k_ep = jax.random.split(key)
-            batches = trainset.epoch_batches()
-            state, metrics = train_epoch(state, batches, k_ep, L)
+            batches, tail = trainset.epoch_batches_with_tail()
+            if tail is not None and args.data_parallel \
+                    and tail.shape[0] % max(len(jax.devices()), 1):
+                # a ragged tail cannot shard over the mesh; DP users
+                # should pick a divisor batch size
+                if not getattr(main, '_dp_tail_warned', False):
+                    logger.warning(
+                        'data-parallel epoch: dropping ragged tail batch '
+                        'of %d sequences (not divisible by %d devices)',
+                        tail.shape[0], len(jax.devices()))
+                    main._dp_tail_warned = True
+                tail = None
+            state, metrics = run_epoch_with_tail(
+                train_epoch, train_step, state, batches, tail, k_ep, L)
             losses, nlls, kl_regs, kl_us, var_now = [
                 np.asarray(x) for x in jax.device_get(
                     (metrics['loss'], metrics['nll'], metrics['kl_reg'],

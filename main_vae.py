@@ -190,10 +190,20 @@ def main():
 
     for ep in range(args.vae_epochs):
         if args.fast_epoch:
-            Xep = train_loader.epoch_batches()
+            # tail batch (N % batch != 0) trained with one extra per-step
+            # dispatch so the scanned regime matches the reference
+            # DataLoader's drop_last=False (every frame seen each epoch)
+            Xep, tail = train_loader.epoch_batches_with_tail()
             key, k_s = jax.random.split(key)
             params, bstats, opt_state, (losses, lhs, klrs) = train_epoch(
                 params, bstats, opt_state, Xep, k_s)
+            if tail is not None:
+                key, k_t = jax.random.split(key)
+                params, bstats, opt_state, tlo, tlh, tkr = train_step(
+                    params, bstats, opt_state, tail, k_t)
+                losses = jnp.concatenate([losses, tlo[None]])
+                lhs = jnp.concatenate([lhs, tlh[None]])
+                klrs = jnp.concatenate([klrs, tkr[None]])
             for itr, (lo, lh, kr) in enumerate(zip(
                     np.asarray(losses), np.asarray(lhs),
                     np.asarray(klrs))):

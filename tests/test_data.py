@@ -194,3 +194,21 @@ def test_glyph_pool_closed_set():
     te = np.asarray(test.X)
     assert any(np.array_equal(te[j], tr[i])
                for j in range(te.shape[0]) for i in range(tr.shape[0]))
+
+
+def test_epoch_batches_with_tail_covers_every_sequence():
+    """Non-divisor split: stacked head + tail together cover every
+    sequence exactly once (the reference DataLoader's drop_last=False);
+    divisor split: tail is None."""
+    X = np.arange(10, dtype=np.float32).reshape(10, 1)
+    ld = dm.Loader(X, batch_size=4, shuffle=True, seed=0)
+    stacked, tail = ld.epoch_batches_with_tail()
+    assert stacked.shape == (2, 4, 1)
+    assert tail is not None and tail.shape == (2, 1)
+    seen = np.sort(np.concatenate([np.asarray(stacked).ravel(),
+                                   np.asarray(tail).ravel()]))
+    np.testing.assert_array_equal(seen, np.arange(10))
+
+    ld2 = dm.Loader(X[:8], batch_size=4, shuffle=False, seed=0)
+    stacked2, tail2 = ld2.epoch_batches_with_tail()
+    assert stacked2.shape == (2, 4, 1) and tail2 is None

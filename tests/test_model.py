@@ -249,3 +249,70 @@ def test_train_epoch_matches_per_step_path(setup):
                                np.asarray(s_l.gp.Um), rtol=1e-4,
                                atol=1e-6)
     assert int(s_e.step) == 3
+
+
+def test_run_epoch_with_tail_matches_per_step_loop(setup):
+    """Non-divisor split (VERDICT r2 #9): the scanned epoch + one tail
+    dispatch must reproduce the per-step loop over head batches then the
+    short tail batch with the same key schedule - no sequence dropped."""
+    import jax.numpy as jnp
+    from vae_gp_ode_tpu.training.trainer import (
+        make_train_epoch, run_epoch_with_tail)
+    model, variables, gp = setup
+    state, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    epoch = make_train_epoch(model, tx, num_observations=float(N),
+                             eps_guard=True)
+
+    batches = jnp.stack([make_batch(jax.random.PRNGKey(70 + i))
+                         for i in range(2)])
+    tail = make_batch(jax.random.PRNGKey(72), n=2)   # short batch
+    key = jax.random.PRNGKey(80)
+
+    s_e, metrics = run_epoch_with_tail(epoch, step, state, batches, tail,
+                                       key, 1)
+    assert metrics['loss'].shape == (3,)
+
+    # per-step replay with the identical key schedule
+    k_scan, k_tail = jax.random.split(key)
+    s_l, k = state, k_scan
+    losses = []
+    for i in range(2):
+        k, k_step = jax.random.split(k)
+        s_l, m = step(s_l, batches[i], k_step, 1)
+        losses.append(float(m['loss']))
+    s_l, m = step(s_l, tail, k_tail, 1)
+    losses.append(float(m['loss']))
+
+    np.testing.assert_allclose(np.asarray(metrics['loss']),
+                               np.asarray(losses), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_e.gp.Um),
+                               np.asarray(s_l.gp.Um), rtol=1e-4,
+                               atol=1e-6)
+    assert int(s_e.step) == 3
+
+
+def test_run_epoch_with_tail_none_tail_is_identity(setup):
+    """With tail=None the helper must reduce to the plain scanned epoch
+    (key still split the same way, so results match the tail path's
+    scan portion)."""
+    import jax.numpy as jnp
+    from vae_gp_ode_tpu.training.trainer import (
+        make_train_epoch, run_epoch_with_tail)
+    model, variables, gp = setup
+    state, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    epoch = make_train_epoch(model, tx, num_observations=float(N),
+                             eps_guard=True)
+    batches = jnp.stack([make_batch(jax.random.PRNGKey(90 + i))
+                         for i in range(2)])
+    key = jax.random.PRNGKey(91)
+    s_t, m_t = run_epoch_with_tail(epoch, step, state, batches, None,
+                                   key, 1)
+    k_scan, _ = jax.random.split(key)
+    s_p, m_p = epoch(state, batches, k_scan, 1)
+    np.testing.assert_allclose(np.asarray(m_t['loss']),
+                               np.asarray(m_p['loss']), rtol=1e-6)
+    assert int(s_t.step) == int(s_p.step) == 2

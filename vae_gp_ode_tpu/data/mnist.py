@@ -76,23 +76,38 @@ class Loader:
         NOTE: the scan needs a static batch shape, so a ragged tail batch
         (when N % batch != 0) is dropped - unlike the reference DataLoader
         (drop_last=False) and this Loader's own __iter__. A warning is
-        logged once per Loader."""
-        import jax.numpy as _jnp
-        n = self.X.shape[0]
-        I = n // self.batch_size
-        tail = n - I * self.batch_size
-        if tail and not getattr(self, '_tail_warned', False):
+        logged once per Loader. The training drivers use
+        epoch_batches_with_tail instead, which returns the tail for a
+        separate per-step dispatch so no sequence is ever dropped."""
+        stacked, tail = self.epoch_batches_with_tail()
+        if tail is not None and not getattr(self, '_tail_warned', False):
             import logging
             logging.getLogger(__name__).warning(
                 'epoch_batches: dropping ragged tail batch of %d/%d '
-                'sequences each epoch (N %% batch != 0); use --fast_epoch '
-                'False or a divisor batch size to see every sequence',
-                tail, n)
+                'sequences each epoch (N %% batch != 0); use '
+                'epoch_batches_with_tail (or a divisor batch size) to '
+                'see every sequence', tail.shape[0], self.X.shape[0])
             self._tail_warned = True
+        return stacked
+
+    def epoch_batches_with_tail(self):
+        """(stacked (I, B, ...), tail (N % B, ...) or None) from ONE epoch
+        permutation. The stacked part feeds the scanned whole-epoch train
+        path (static shapes); the tail - the same sequences the reference
+        DataLoader would yield as its final short batch (drop_last=False)
+        - is trained with one extra per-step dispatch, so the scanned
+        regime sees every sequence exactly once per epoch."""
+        import jax.numpy as _jnp
+        n = self.X.shape[0]
+        I = n // self.batch_size
         idx = (self._rng.permutation(n) if self.shuffle
-               else np.arange(n))[:I * self.batch_size]
-        return self.X[_jnp.asarray(idx)].reshape(
+               else np.arange(n))
+        head = _jnp.asarray(idx[:I * self.batch_size])
+        stacked = self.X[head].reshape(
             (I, self.batch_size) + self.X.shape[1:])
+        tail_idx = idx[I * self.batch_size:]
+        tail = self.X[_jnp.asarray(tail_idx)] if len(tail_idx) else None
+        return stacked, tail
 
 
 def rot_start(X, T, seed=None):

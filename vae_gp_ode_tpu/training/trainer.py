@@ -167,6 +167,31 @@ def make_train_epoch(model, tx, num_observations: float,
     return partial(jax.jit, static_argnums=(3,))(_make_epoch_fn(step))
 
 
+def run_epoch_with_tail(train_epoch, train_step, state, batches, tail,
+                        key, L: int):
+    """One full epoch over a possibly-non-divisor split: the scanned
+    whole-epoch path over the (I, B, ...) stacked batches plus ONE extra
+    per-step dispatch for the ragged tail batch (Ndata % batch != 0), so
+    the scanned regime trains on every sequence the reference DataLoader
+    would yield (drop_last=False) instead of silently dropping the tail.
+
+    The tail step gets the same NaN-guard semantics as the scan body
+    (non-finite loss -> update discarded, metric row kept) and its
+    metrics are appended as one extra row to the epoch's metric arrays.
+    """
+    k_scan, k_tail = jax.random.split(key)
+    state, metrics = train_epoch(state, batches, k_scan, L)
+    if tail is None:
+        return state, metrics
+    new_state, tmetrics = train_step(state, tail, k_tail, L)
+    ok = jnp.isfinite(tmetrics['loss'])
+    state = jax.tree.map(lambda n, o: jnp.where(ok, n, o), new_state,
+                         state)
+    metrics = {k: jnp.concatenate([v, tmetrics[k][None]])
+               for k, v in metrics.items()}
+    return state, metrics
+
+
 def make_eval_step(model, T_custom: Optional[int] = None):
     """Returns eval_step(state, batch, key, L) -> (Xrec, mse), with
     eval-mode BatchNorm (running statistics).
