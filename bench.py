@@ -121,7 +121,18 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
             best = max(best, iters_per_epoch * epochs_per_block / dt)
         return best
 
-    return run(1, reps), run(5, 2)
+    # model FLOPs per train step (fwd+bwd+Adam), from XLA's HLO cost
+    # analysis of the UNOPTIMISED lowering (= model FLOPs, pre-fusion;
+    # VERDICT r2 #10). lower() only traces - no second device compile.
+    try:
+        cost = train_epoch.lower(state, batches, key, 1).cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops_per_step = float(cost['flops']) / iters_per_epoch
+    except Exception:
+        flops_per_step = None
+
+    return run(1, reps), run(5, 2), flops_per_step
 
 
 def get_torch_baseline():
@@ -159,7 +170,7 @@ def main():
     # property of the compiled code. Scanned-first keeps the headline
     # number clean; the per-step phase is dispatch-latency-bound either
     # way so the ordering does not distort it.
-    scan_sps, scan_sps_l5 = measure_scanned_steps_per_sec()
+    scan_sps, scan_sps_l5, flops_per_step = measure_scanned_steps_per_sec()
     jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
     torch_sps, baseline_source = get_torch_baseline()
     # headline: the shipped default training path (whole-epoch scan, one
@@ -178,6 +189,10 @@ def main():
             'train_steps_per_sec_per_step_dispatch_L5': round(jax_sps_l5,
                                                               3),
             'ode_fn_evals_per_sec': round(scan_sps * nfe_per_step, 1),
+            'model_flops_per_step': flops_per_step,
+            'achieved_model_tflops_per_sec': (
+                round(flops_per_step * scan_sps / 1e12, 4)
+                if flops_per_step else None),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'baseline_source': baseline_source,
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
