@@ -554,3 +554,120 @@ def test_df_train_step_pallas_matches_jnp():
                     jax.tree_util.tree_leaves(sj.gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=1e-5)
+
+
+def test_df_euler_flow_matches_reference_scan():
+    """DF trajectory kernel forward == the lax.scan of the DF pathwise
+    reference (euler, uniform grid)."""
+    from vae_gp_ode_tpu.ops.df_flow_fused import (
+        packed_df_euler_flow, df_euler_flow_reference)
+    x, omf, phf, G, Z, nur, ls2, var = _df_operands(jax.random.PRNGKey(6))
+    T = 7
+    dts = jnp.full((T - 1,), 0.05)
+    zs = packed_df_euler_flow(x, omf, phf, G, Z, nur, ls2, var, dts, T,
+                              True)
+    ref = df_euler_flow_reference(x, omf, phf, G, Z, nur, ls2, var, dts,
+                                  T)
+    assert zs.shape == (T, x.shape[0], x.shape[1])
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_df_euler_flow_grads_match_reference():
+    """Discrete-adjoint backward == XLA reverse mode through the scan
+    oracle, for every operand including dts."""
+    from vae_gp_ode_tpu.ops.df_flow_fused import (
+        packed_df_euler_flow, df_euler_flow_reference)
+    args = _df_operands(jax.random.PRNGKey(7))
+    T = 6
+    dts = jnp.linspace(0.03, 0.08, T - 1)   # non-uniform grid
+
+    def loss(fn, *a):
+        zs = fn(*a, dts, T)
+        return jnp.sum(zs * jnp.arange(zs.size).reshape(zs.shape) * 1e-3)
+
+    gf = jax.grad(lambda *a: loss(
+        lambda *b: packed_df_euler_flow(*b, True), *a),
+        argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *a: loss(df_euler_flow_reference, *a),
+                  argnums=tuple(range(8)))(*args)
+    names = ['z0', 'omf', 'phf', 'G', 'Z', 'nur', 'ls2', 'var']
+    for n, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=n)
+
+    # dts cotangent
+    gt_f = jax.grad(lambda d: jnp.sum(packed_df_euler_flow(
+        *args, d, T, True) ** 2))(dts)
+    gt_r = jax.grad(lambda d: jnp.sum(df_euler_flow_reference(
+        *args, d, T) ** 2))(dts)
+    np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r),
+                               rtol=5e-3, atol=1e-6, err_msg='dts')
+
+
+def test_df_euler_flow_tiled_grid(monkeypatch):
+    """Grid-tiled DF path (N > single-block threshold incl. ragged tail)
+    == reference, forward and grads."""
+    from vae_gp_ode_tpu.ops import df_flow_fused as dff
+    monkeypatch.setattr(dff, '_SINGLE_BLOCK_N', 4)
+    monkeypatch.setattr(dff, '_TILE_N', 4)
+    x, omf, phf, G, Z, nur, ls2, var = _df_operands(
+        jax.random.PRNGKey(8), N=10)   # 3 tiles, ragged tail of 2
+    T = 5
+    dts = jnp.full((T - 1,), 0.05)
+    args = (x, omf, phf, G, Z, nur, ls2, var)
+    zs = dff.packed_df_euler_flow(*args, dts, T, True)
+    ref = dff.df_euler_flow_reference(*args, dts, T)
+    np.testing.assert_allclose(np.asarray(zs), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+    def loss(fn, *a):
+        zs = fn(*a, dts, T)
+        return jnp.sum(zs * jnp.arange(zs.size).reshape(zs.shape) * 1e-3)
+
+    gf = jax.grad(lambda *a: loss(
+        lambda *b: dff.packed_df_euler_flow(*b, True), *a),
+        argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *a: loss(dff.df_euler_flow_reference, *a),
+                  argnums=tuple(range(8)))(*args)
+    names = ['z0', 'omf', 'phf', 'G', 'Z', 'nur', 'ls2', 'var']
+    for n, a, b in zip(names, gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=1e-5, err_msg=n)
+
+
+def test_df_flow_forward_fused_dispatch_matches_scan():
+    """flow_forward with DF + euler + fuse_flow ON must equal the scan
+    path (fuse OFF) for values AND hyperparameter grads - pins the
+    dispatch decision end-to-end through draw_fn_sample."""
+    from vae_gp_ode_tpu.gp.svgp import init_svgp_params, draw_fn_sample
+    from vae_gp_ode_tpu.dynamics.flow import flow_forward
+    from vae_gp_ode_tpu.ops import config as ops_config
+
+    gp = init_svgp_params(jax.random.PRNGKey(0), D_in=4, D_out=4, M=6,
+                          kernel='DF')
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (3, 4)) * 0.5
+    ts = 0.1 * jnp.arange(5)
+
+    def traj_loss(gp, fuse):
+        ops_config.set_fuse_flow(fuse)
+        try:
+            s = draw_fn_sample(gp, jax.random.PRNGKey(2), S=8)
+            zs, nfe = flow_forward(gp, s, z0, ts, solver='euler')
+            return jnp.sum(zs ** 2), (zs, nfe)
+        finally:
+            ops_config.set_fuse_flow(True)
+
+    (l_f, (zs_f, nfe_f)), g_f = jax.value_and_grad(
+        traj_loss, has_aux=True)(gp, True)
+    (l_s, (zs_s, nfe_s)), g_s = jax.value_and_grad(
+        traj_loss, has_aux=True)(gp, False)
+    assert int(nfe_f) == int(nfe_s) == 4
+    np.testing.assert_allclose(np.asarray(zs_f), np.asarray(zs_s),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(g_f.kernel.unconstrained_lengthscales),
+        np.asarray(g_s.kernel.unconstrained_lengthscales),
+        rtol=5e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_f.Um), np.asarray(g_s.Um),
+                               rtol=5e-3, atol=1e-6)

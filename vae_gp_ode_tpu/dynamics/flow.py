@@ -59,6 +59,25 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
                 jnp.diff(ts), T, order,
                 interpret=ops_config.interpret_mode())
             return jnp.transpose(zs, (1, 0, 2)), jnp.asarray(T - 1)
+    if (solver == 'euler' and dense == 1 and gp.kernel_name == 'DF'
+            and order == 1 and ts.shape[0] >= 2
+            and getattr(sample, 'df_G', None) is not None):
+        from vae_gp_ode_tpu.ops import config as ops_config
+        if ops_config.use_pallas() and ops_config.fuse_flow():
+            from vae_gp_ode_tpu.ops.df_flow_fused import packed_df_euler_flow
+            from vae_gp_ode_tpu.kernels.rbf import (
+                rbf_lengthscales, rbf_variance)
+            T = ts.shape[0]
+            D = z0.shape[1]
+            S = sample.rff.omega.shape[1]
+            ls = rbf_lengthscales(gp.kernel)
+            zs = packed_df_euler_flow(
+                z0, sample.rff.omega.reshape(D, S * D),
+                sample.rff.phase.reshape(1, S * D), sample.df_G,
+                gp.inducing_loc, sample.nu.reshape(-1, D), ls * ls,
+                rbf_variance(gp.kernel), jnp.diff(ts), T,
+                ops_config.interpret_mode())
+            return jnp.transpose(zs, (1, 0, 2)), jnp.asarray(T - 1)
     rhs = make_ode_rhs(gp, sample, order)
     sol = odeint(rhs, z0, ts, method=solver, dense=dense, rtol=rtol,
                  atol=atol, max_steps=max_steps, remat=remat)

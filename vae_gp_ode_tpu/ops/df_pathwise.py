@@ -73,42 +73,52 @@ def df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var):
     return f_prior + f_up
 
 
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=_HI)
+
+
+def _df_eval_body(x, omf, phf, G, Zt, nurT, ls2, var_row, SD):
+    """In-kernel DF pathwise eval on VALUES (shared by the per-step kernel
+    and the whole-trajectory kernel in ops.df_flow_fused).
+
+    x (N, D); omf (D, SD); phf (1, SD); G (2SD, D); Zt (D, M);
+    nurT (D, M); ls2 (D, D) VALUES (indexed [j, i] scalars); var_row
+    (1, D). Returns f (N, D)."""
+    D = x.shape[1]
+    # ---- ORFF prior: trig features + contraction matmuls
+    xo = _mm(x, omf) + phf                               # (N, SD)
+    f = _mm(jnp.cos(xo), G[:SD]) + _mm(jnp.sin(xo), G[SD:])
+
+    # ---- matrix-valued pathwise update
+    sq = (jnp.sum(x * x, axis=1, keepdims=True)
+          + jnp.sum(Zt * Zt, axis=0, keepdims=True)
+          - 2.0 * _mm(x, Zt))                            # (N, M)
+    ds = [x[:, k:k + 1] - Zt[k:k + 1, :] for k in range(D)]
+    cols = []
+    for i in range(D):
+        var_i = var_row[0, i]
+        acc = None
+        for j in range(D):
+            inv = 1.0 / ls2[j, i]
+            E = jnp.exp(sq * (-0.5 * inv))               # (N, M)
+            base = ds[j] * ds[i] * inv
+            if i == j:
+                base = base + ((D - 1.0) - sq * inv)
+            contrib = E * base * (var_i * inv)           # (N, M)
+            term = jnp.sum(contrib * nurT[j:j + 1, :],
+                           axis=1, keepdims=True)        # (N, 1)
+            acc = term if acc is None else acc + term
+        cols.append(acc)
+    return f + jnp.concatenate(cols, axis=1)
+
+
 def _make_fwd_kernel(D, SD):
     def kernel(x_ref, omf_ref, phf_ref, g_ref, zt_ref, nurt_ref, ls2_ref,
                var_ref, out_ref):
-        x = x_ref[:]                        # (N, D)
-        Zt = zt_ref[:]                      # (D, M)
-        G = g_ref[:]                        # (2SD, D)
-
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                           precision=_HI)
-
-        # ---- ORFF prior: trig features + contraction matmuls
-        xo = mm(x, omf_ref[:]) + phf_ref[:]              # (N, SD)
-        f = mm(jnp.cos(xo), G[:SD]) + mm(jnp.sin(xo), G[SD:])
-
-        # ---- matrix-valued pathwise update
-        sq = (jnp.sum(x * x, axis=1, keepdims=True)
-              + jnp.sum(Zt * Zt, axis=0, keepdims=True)
-              - 2.0 * mm(x, Zt))                         # (N, M)
-        ds = [x[:, k:k + 1] - Zt[k:k + 1, :] for k in range(D)]
-        cols = []
-        for i in range(D):
-            var_i = var_ref[0, i]
-            acc = None
-            for j in range(D):
-                inv = 1.0 / ls2_ref[j, i]
-                E = jnp.exp(sq * (-0.5 * inv))           # (N, M)
-                base = ds[j] * ds[i] * inv
-                if i == j:
-                    base = base + ((D - 1.0) - sq * inv)
-                contrib = E * base * (var_i * inv)       # (N, M)
-                term = jnp.sum(contrib * nurt_ref[j:j + 1, :],
-                               axis=1, keepdims=True)    # (N, 1)
-                acc = term if acc is None else acc + term
-            cols.append(acc)
-        out_ref[:] = f + jnp.concatenate(cols, axis=1)
+        out_ref[:] = _df_eval_body(
+            x_ref[:], omf_ref[:], phf_ref[:], g_ref[:], zt_ref[:],
+            nurt_ref[:], ls2_ref[:], var_ref[:], SD)
 
     return kernel
 
@@ -125,95 +135,137 @@ def _pallas_forward(x, omf, phf, G, Z, nur, ls2, var, interpret=False):
     )(x, omf, phf, G, Z.T, nur.T, ls2, var.reshape(1, -1))
 
 
+def _one_hot2(shape, j, i, dtype):
+    """`shape`-shaped one-hot at [j, i], built from iota (scalar scatter
+    writes do not exist in Pallas TPU)."""
+    r = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    return ((r == j) & (c == i)).astype(dtype)
+
+
+def _df_eval_vjp_body(x, omf, phf, G, Zt, nurT, ls2, var_row, gout, SD,
+                      want_f=False):
+    """In-kernel VJP of _df_eval_body on VALUES (shared by the per-step
+    backward kernel and the trajectory discrete adjoint).
+
+    Recomputes the forward intermediates; returns
+    (dx, domf, dphf, dG_cos, dG_sin, dZt, dnurT, dls2, dvar_row) with
+    dls2 (D, D) / dvar_row (1, D) assembled via one-hot masks (scalar
+    scatter writes do not exist in Pallas TPU). With `want_f=True` the
+    recomputed f(x) (N, D) is appended to the return tuple (the
+    trajectory adjoint needs it for the dt cotangent; almost free since
+    every piece is already recomputed here)."""
+    D = x.shape[1]
+    f32 = x.dtype
+
+    # ---- prior backward (recompute trig)
+    xo = _mm(x, omf) + phf                               # (N, SD)
+    cosv = jnp.cos(xo)
+    sinv = jnp.sin(xo)
+    f_val = (_mm(cosv, G[:SD]) + _mm(sinv, G[SD:])) if want_f else None
+    dG_cos = _mm(cosv.T, gout)                           # (SD, D)
+    dG_sin = _mm(sinv.T, gout)                           # (SD, D)
+    dxo = (-sinv * _mm(gout, G[:SD].T)
+           + cosv * _mm(gout, G[SD:].T))                 # (N, SD)
+    dphf = jnp.sum(dxo, axis=0, keepdims=True)
+    domf = _mm(x.T, dxo)
+    dx = _mm(dxo, omf.T)                                 # (N, D)
+
+    # ---- update backward (recompute per-pair intermediates)
+    sq = (jnp.sum(x * x, axis=1, keepdims=True)
+          + jnp.sum(Zt * Zt, axis=0, keepdims=True)
+          - 2.0 * _mm(x, Zt))                            # (N, M)
+    ds = [x[:, k:k + 1] - Zt[k:k + 1, :] for k in range(D)]
+
+    sqbar = jnp.zeros_like(sq)
+    dsbar = [jnp.zeros_like(sq) for _ in range(D)]
+    dnur_rows = [jnp.zeros_like(sq[:1, :]) for _ in range(D)]
+    dls2 = jnp.zeros((D, D), f32)
+    dvar = jnp.zeros((1, D), f32)
+    f_up_cols = []
+    for i in range(D):
+        gi = gout[:, i:i + 1]                            # (N, 1)
+        var_i = var_row[0, i]
+        dvar_i = jnp.zeros((), f32)
+        f_up_i = None
+        for j in range(D):
+            inv = 1.0 / ls2[j, i]
+            E = jnp.exp(sq * (-0.5 * inv))               # (N, M)
+            dji = ds[j] * ds[i]
+            base = dji * inv
+            if i == j:
+                base = base + ((D - 1.0) - sq * inv)
+            c1 = var_i * inv
+            contrib = E * base * c1                      # (N, M)
+            if want_f:
+                term = jnp.sum(contrib * nurT[j:j + 1, :],
+                               axis=1, keepdims=True)    # (N, 1)
+                f_up_i = term if f_up_i is None else f_up_i + term
+            # out_i = sum_m contrib * nur[m, j]
+            dcontrib = gi * nurT[j:j + 1, :]             # (N, M)
+            dnur_rows[j] = dnur_rows[j] + jnp.sum(
+                contrib * gi, axis=0, keepdims=True)     # (1, M)
+            Ebar = dcontrib * base * c1
+            basebar = dcontrib * E * c1
+            c1bar = jnp.sum(dcontrib * E * base)
+            # E = exp(-0.5 inv sq)
+            sqbar = sqbar + Ebar * E * (-0.5 * inv)
+            invbar = jnp.sum(Ebar * E * sq) * (-0.5)
+            # base = d_j d_i inv (+ delta_ji ((D-1) - sq inv))
+            dsbar[j] = dsbar[j] + basebar * ds[i] * inv
+            dsbar[i] = dsbar[i] + basebar * ds[j] * inv
+            invbar += jnp.sum(basebar * dji)
+            if i == j:
+                sqbar = sqbar - basebar * inv
+                invbar += jnp.sum(-basebar * sq)
+            # c1 = var_i * inv
+            dvar_i += c1bar * inv
+            invbar += c1bar * var_i
+            # inv = 1 / ls2[j, i]
+            dls2 = dls2 + (-invbar * inv * inv) * _one_hot2((D, D), j, i, f32)
+        dvar = dvar + dvar_i * _one_hot2((1, D), 0, i, f32)
+        if want_f:
+            f_up_cols.append(f_up_i)
+
+    # ds_k[n, m] = x[n, k] - Zt[k, m]
+    dx_ds = jnp.concatenate(
+        [jnp.sum(dsbar[k], axis=1, keepdims=True) for k in range(D)],
+        axis=1)                                          # (N, D)
+    dzt_ds = jnp.concatenate(
+        [-jnp.sum(dsbar[k], axis=0, keepdims=True) for k in range(D)],
+        axis=0)                                          # (D, M)
+    # sq = |x|^2 + |Zt cols|^2 - 2 x Zt
+    dx_full = (dx + dx_ds
+               + 2.0 * (jnp.sum(sqbar, axis=1, keepdims=True) * x
+                        - _mm(sqbar, Zt.T)))
+    dZt = (dzt_ds
+           + 2.0 * (jnp.sum(sqbar, axis=0, keepdims=True) * Zt
+                    - _mm(x.T, sqbar)))
+    dnurT = jnp.concatenate(dnur_rows, axis=0)           # (D, M)
+    outs = (dx_full, domf, dphf, dG_cos, dG_sin, dZt, dnurT, dls2, dvar)
+    if want_f:
+        return outs + (f_val + jnp.concatenate(f_up_cols, axis=1),)
+    return outs
+
+
 def _make_bwd_kernel(D, SD):
     def kernel(x_ref, omf_ref, phf_ref, g_ref, zt_ref, nurt_ref, ls2_ref,
                var_ref, gout_ref,
                dx_ref, domf_ref, dphf_ref, dg_ref, dzt_ref, dnurt_ref,
                dls2_ref, dvar_ref):
-        x = x_ref[:]                        # (N, D)
-        Zt = zt_ref[:]                      # (D, M)
-        G = g_ref[:]                        # (2SD, D)
-        gout = gout_ref[:]                  # (N, D)
-
-        def mm(a, b):
-            return jnp.dot(a, b, preferred_element_type=jnp.float32,
-                           precision=_HI)
-
-        # ---- prior backward (recompute trig)
-        omf = omf_ref[:]
-        xo = mm(x, omf) + phf_ref[:]                     # (N, SD)
-        cosv = jnp.cos(xo)
-        sinv = jnp.sin(xo)
-        dg_ref[pl.ds(0, SD)] = mm(cosv.T, gout)
-        dg_ref[pl.ds(SD, SD)] = mm(sinv.T, gout)
-        dxo = (-sinv * mm(gout, G[:SD].T)
-               + cosv * mm(gout, G[SD:].T))              # (N, SD)
-        dphf_ref[:] = jnp.sum(dxo, axis=0, keepdims=True)
-        domf_ref[:] = mm(x.T, dxo)
-        dx = mm(dxo, omf.T)                              # (N, D)
-
-        # ---- update backward (recompute per-pair intermediates)
-        sq = (jnp.sum(x * x, axis=1, keepdims=True)
-              + jnp.sum(Zt * Zt, axis=0, keepdims=True)
-              - 2.0 * mm(x, Zt))                         # (N, M)
-        ds = [x[:, k:k + 1] - Zt[k:k + 1, :] for k in range(D)]
-
-        sqbar = jnp.zeros_like(sq)
-        dsbar = [jnp.zeros_like(sq) for _ in range(D)]
-        dnur_rows = [jnp.zeros_like(sq[:1, :]) for _ in range(D)]
-        for i in range(D):
-            gi = gout[:, i:i + 1]                        # (N, 1)
-            var_i = var_ref[0, i]
-            dvar_i = jnp.zeros((), x.dtype)
-            for j in range(D):
-                inv = 1.0 / ls2_ref[j, i]
-                E = jnp.exp(sq * (-0.5 * inv))           # (N, M)
-                dji = ds[j] * ds[i]
-                base = dji * inv
-                if i == j:
-                    base = base + ((D - 1.0) - sq * inv)
-                c1 = var_i * inv
-                contrib = E * base * c1                  # (N, M)
-                # out_i = sum_m contrib * nur[m, j]
-                dcontrib = gi * nurt_ref[j:j + 1, :]     # (N, M)
-                dnur_rows[j] = dnur_rows[j] + jnp.sum(
-                    contrib * gi, axis=0, keepdims=True)  # (1, M)
-                Ebar = dcontrib * base * c1
-                basebar = dcontrib * E * c1
-                c1bar = jnp.sum(dcontrib * E * base)
-                # E = exp(-0.5 inv sq)
-                sqbar = sqbar + Ebar * E * (-0.5 * inv)
-                invbar = jnp.sum(Ebar * E * sq) * (-0.5)
-                # base = d_j d_i inv (+ delta_ji ((D-1) - sq inv))
-                dsbar[j] = dsbar[j] + basebar * ds[i] * inv
-                dsbar[i] = dsbar[i] + basebar * ds[j] * inv
-                invbar += jnp.sum(basebar * dji)
-                if i == j:
-                    sqbar = sqbar - basebar * inv
-                    invbar += jnp.sum(-basebar * sq)
-                # c1 = var_i * inv
-                dvar_i += c1bar * inv
-                invbar += c1bar * var_i
-                # inv = 1 / ls2[j, i]
-                dls2_ref[j:j + 1, i:i + 1] = (
-                    -invbar * inv * inv).reshape(1, 1)
-            dvar_ref[0:1, i:i + 1] = dvar_i.reshape(1, 1)
-
-        # ds_k[n, m] = x[n, k] - Zt[k, m]
-        dx_ds = jnp.concatenate(
-            [jnp.sum(dsbar[k], axis=1, keepdims=True) for k in range(D)],
-            axis=1)                                      # (N, D)
-        dzt_ds = jnp.concatenate(
-            [-jnp.sum(dsbar[k], axis=0, keepdims=True) for k in range(D)],
-            axis=0)                                      # (D, M)
-        # sq = |x|^2 + |Zt cols|^2 - 2 x Zt
-        dx_ref[:] = (dx + dx_ds
-                     + 2.0 * (jnp.sum(sqbar, axis=1, keepdims=True) * x
-                              - mm(sqbar, Zt.T)))
-        dzt_ref[:] = (dzt_ds
-                      + 2.0 * (jnp.sum(sqbar, axis=0, keepdims=True) * Zt
-                               - mm(x.T, sqbar)))
-        dnurt_ref[:] = jnp.concatenate(dnur_rows, axis=0)  # (D, M)
+        (dx, domf, dphf, dG_cos, dG_sin, dZt, dnurT, dls2,
+         dvar) = _df_eval_vjp_body(
+            x_ref[:], omf_ref[:], phf_ref[:], g_ref[:], zt_ref[:],
+            nurt_ref[:], ls2_ref[:], var_ref[:], gout_ref[:], SD)
+        dx_ref[:] = dx
+        domf_ref[:] = domf
+        dphf_ref[:] = dphf
+        dg_ref[pl.ds(0, SD)] = dG_cos
+        dg_ref[pl.ds(SD, SD)] = dG_sin
+        dzt_ref[:] = dZt
+        dnurt_ref[:] = dnurT
+        dls2_ref[:] = dls2
+        dvar_ref[:] = dvar
 
     return kernel
 
