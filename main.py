@@ -122,6 +122,14 @@ parser.add_argument('--plot_freq', type=int, default=1,
 parser.add_argument('--data_parallel', type=eval, default=False,
                     help="shard the batch over all devices (mesh data "
                          "axis); single-device when only one chip")
+parser.add_argument('--dp_impl', type=str, default='auto',
+                    choices=['auto', 'shardmap', 'gspmd'],
+                    help="data-parallel implementation: 'shardmap' runs "
+                         "the step per-shard (keeps the fused Pallas "
+                         "kernels; needs batch %% n_devices == 0), "
+                         "'gspmd' lets the XLA partitioner shard the jnp "
+                         "graph; 'auto' picks shardmap when the Pallas "
+                         "fast paths are active and the batch divides")
 parser.add_argument('--fast_epoch', type=eval, default=True,
                     help="scan whole epochs on device (one dispatch per "
                          "epoch; metrics fetched as arrays). Drops the "
@@ -321,16 +329,35 @@ def main():
 
     use_fast = args.fast_epoch
     if args.data_parallel and len(jax.devices()) > 1:
+        from vae_gp_ode_tpu.ops import config as ops_config
         from vae_gp_ode_tpu.parallel import (
             make_mesh, make_parallel_train_step, make_parallel_train_epoch,
+            make_shardmap_train_step, make_shardmap_train_epoch,
             replicate, shard_batch, shard_epoch)
         mesh = make_mesh()
-        train_step_p = make_parallel_train_step(
+        ndev = mesh.devices.size
+        impl = args.dp_impl
+        if impl == 'auto':
+            impl = ('shardmap' if ops_config.use_pallas()
+                    and args.batch % ndev == 0 else 'gspmd')
+        elif impl == 'shardmap' and args.batch % ndev:
+            logger.warning('dp_impl=shardmap needs batch %% n_devices == '
+                           '0 (got %d %% %d); falling back to gspmd',
+                           args.batch, ndev)
+            impl = 'gspmd'
+        if impl == 'shardmap':
+            # per-shard step: keeps the fused Pallas kernels on every chip
+            make_step, make_epoch = (make_shardmap_train_step,
+                                     make_shardmap_train_epoch)
+        else:
+            make_step, make_epoch = (make_parallel_train_step,
+                                     make_parallel_train_epoch)
+        train_step_p = make_step(
             model, tx, num_observations=args.Ndata, mesh=mesh,
             eps_guard=args.eps_guard, freeze_vae=args.pretrained)
         state = replicate(state, mesh)
-        logger.info('Data-parallel over %d devices (mesh %s)',
-                    mesh.devices.size, mesh.axis_names)
+        logger.info('Data-parallel (%s) over %d devices (mesh %s)',
+                    impl, ndev, mesh.axis_names)
 
         def train_step(state, batch, key, L):
             return train_step_p(state, shard_batch(batch, mesh), key, L)
@@ -338,7 +365,7 @@ def main():
         if use_fast:
             # whole-epoch scan composed with mesh shardings: multi-chip
             # training keeps the one-dispatch-per-epoch property
-            train_epoch_p = make_parallel_train_epoch(
+            train_epoch_p = make_epoch(
                 model, tx, num_observations=args.Ndata, mesh=mesh,
                 eps_guard=args.eps_guard, freeze_vae=args.pretrained)
 

@@ -4,6 +4,7 @@ step equivalence, feature-parallel GP eval equivalence, mesh utilities."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import optax
 import pytest
 
 from vae_gp_ode_tpu.parallel import (
@@ -152,3 +153,132 @@ def test_feature_parallel_flow_matches():
     np.testing.assert_allclose(np.asarray(zt_fp), np.asarray(zt_ref),
                                rtol=2e-4, atol=2e-5)
     assert int(nfe_fp) == int(nfe_ref)
+
+
+def test_shardmap_dp_step_matches_single_device_pallas():
+    """shard_map DP step (per-shard Pallas kernels, VERDICT r2 #2) must
+    equal the single-device step with Pallas ON: same loss, same updated
+    params, global-batch BN included.
+
+    Tolerances are f32-reassociation-scale: the same comparison run in
+    float64 agrees to ~1e-11 absolute on every gradient leaf (the only
+    larger term, 3e-7 on the kernel lengthscales, is the Pallas kernels'
+    forced-f32 matmul accumulators), so the recipe is exact and the f32
+    spread is summation-order noise amplified through the BN/flow
+    backward. SGD (not Adam) so parameter deltas are proportional to
+    gradients - Adam's first step is sign(g)*lr, which amplifies
+    float-noise on near-zero gradients to full +/-lr."""
+    from vae_gp_ode_tpu.ops import config as ops_config
+    from vae_gp_ode_tpu.parallel.shard_dp import make_shardmap_train_step
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=8, T=4)
+    state, tx = create_train_state(model, variables, gp,
+                                   optimizer=optax.sgd(1e-3))
+    X = jax.random.uniform(jax.random.PRNGKey(1), (8, 4, 1, 28, 28))
+    key = jax.random.PRNGKey(2)
+
+    ops_config.set_use_pallas(True)
+    try:
+        step_1 = make_train_step(model, tx, num_observations=8.0,
+                                 eps_guard=True)
+        s1, m1 = step_1(state, X, key, 1)
+
+        mesh = make_mesh({'data': 8})
+        step_n = make_shardmap_train_step(
+            model, tx, num_observations=8.0, mesh=mesh, eps_guard=True)
+        state_r = replicate(state, mesh)
+        X_s = shard_batch(X, mesh)
+        sn, mn = step_n(state_r, X_s, key, 1)
+    finally:
+        ops_config.set_use_pallas(None)
+
+    np.testing.assert_allclose(float(m1['loss']), float(mn['loss']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.gp.Um), np.asarray(sn.gp.Um),
+                               rtol=1e-2, atol=1e-6)
+    # BN batch_stats must match the single-device GLOBAL-batch statistics
+    bs1 = jax.tree_util.tree_leaves(s1.batch_stats)
+    bsn = jax.tree_util.tree_leaves(sn.batch_stats)
+    for a, b in zip(bs1, bsn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    # VAE conv params too (BN-coupled gradient path)
+    v1 = jax.tree_util.tree_leaves(s1.vae_params)
+    vn = jax.tree_util.tree_leaves(sn.vae_params)
+    for a, b in zip(v1, vn):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=5e-4)
+
+
+def test_shardmap_dp_step_df_kernel():
+    """The shard_map DP step with the DF kernel keeps the fused DF
+    trajectory kernel per shard and matches single-device."""
+    from vae_gp_ode_tpu.ops import config as ops_config
+    from vae_gp_ode_tpu.parallel.shard_dp import make_shardmap_train_step
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(5), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=8, T=4, kernel='DF',
+        D_in=3, D_out=3)
+    state, tx = create_train_state(model, variables, gp,
+                                   optimizer=optax.sgd(1e-3))
+    X = jax.random.uniform(jax.random.PRNGKey(6), (8, 4, 1, 28, 28))
+    key = jax.random.PRNGKey(7)
+
+    ops_config.set_use_pallas(True)
+    try:
+        s1, m1 = make_train_step(model, tx, num_observations=8.0,
+                                 eps_guard=True)(state, X, key, 1)
+        mesh = make_mesh({'data': 8})
+        step_n = make_shardmap_train_step(
+            model, tx, num_observations=8.0, mesh=mesh, eps_guard=True)
+        sn, mn = step_n(replicate(state, mesh), shard_batch(X, mesh),
+                        key, 1)
+    finally:
+        ops_config.set_use_pallas(None)
+
+    np.testing.assert_allclose(float(m1['loss']), float(mn['loss']),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1.gp.Um), np.asarray(sn.gp.Um),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_shardmap_dp_epoch_matches_single_device():
+    """Whole-epoch scan over shard_map'd steps == single-device epoch
+    (Pallas ON), metrics and final state."""
+    from vae_gp_ode_tpu.ops import config as ops_config
+    from vae_gp_ode_tpu.parallel.shard_dp import make_shardmap_train_epoch
+    from vae_gp_ode_tpu.parallel import shard_epoch
+    from vae_gp_ode_tpu.training.trainer import make_train_epoch
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=8, T=4)
+    state, tx = create_train_state(model, variables, gp,
+                                   optimizer=optax.sgd(1e-5))
+    batches = jax.random.uniform(jax.random.PRNGKey(8),
+                                 (3, 8, 4, 1, 28, 28))
+    key = jax.random.PRNGKey(9)
+
+    ops_config.set_use_pallas(True)
+    try:
+        ep1 = make_train_epoch(model, tx, num_observations=8.0,
+                               eps_guard=True)
+        s1, m1 = ep1(state, batches, key, 1)
+
+        mesh = make_mesh({'data': 8})
+        epn = make_shardmap_train_epoch(
+            model, tx, num_observations=8.0, mesh=mesh, eps_guard=True)
+        sn, mn = epn(replicate(state, mesh), shard_epoch(batches, mesh),
+                     key, 1)
+    finally:
+        ops_config.set_use_pallas(None)
+
+    np.testing.assert_allclose(np.asarray(m1['loss']),
+                               np.asarray(mn['loss']), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.gp.Um), np.asarray(sn.gp.Um),
+                               rtol=2e-2, atol=1e-5)
+    # NaN-guard semantics must agree across paths too
+    assert int(sn.step) == int(s1.step) == 3

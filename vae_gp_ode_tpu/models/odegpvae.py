@@ -44,30 +44,53 @@ class ODEGPVAE(nn.Module):
     num_features: int = 256  # S, RFF features per GP sample
     use_adjoint: bool = False  # continuous adjoint vs remat backprop
     remat: bool = True       # rematerialise solver steps in reverse mode
+    bn_axis: 'str | None' = None  # shard_map axis for global-batch BN
+    # (None = single-device; parallel.shard_dp clones the model with the
+    # mesh axis so BatchNorm statistics psum over the data shards -
+    # exactly the single-device global-batch semantics)
 
     def setup(self):
-        self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1)
-        self.decoder = Decoder(self.latent_dim, self.n_filt)
+        self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1,
+                               bn_axis=self.bn_axis)
+        self.decoder = Decoder(self.latent_dim, self.n_filt,
+                               bn_axis=self.bn_axis)
         if self.order == 2:
             self.encoder_v = Encoder(self.latent_dim, self.n_filt,
-                                     frames=self.frames)
+                                     frames=self.frames,
+                                     bn_axis=self.bn_axis)
 
-    def encode(self, X, key, train: bool = True):
+    def encode(self, X, key, train: bool = True, reparam_noise=None):
         """Encode a batch of sequences (N, T, 1, d, d) into z0 (N, q or 2q).
 
         reference odegpvae.py:55-62
+
+        `reparam_noise` optionally injects the standard-normal draws
+        (noise_s, noise_v) instead of drawing from `key` - the shard_map
+        data-parallel step passes each shard its slice of the GLOBAL
+        (N, q) draw so the sharded batch reparameterises exactly like the
+        single-device one. NOTE the key-split structure here (k_s, k_v =
+        split(key)) is mirrored by parallel.shard_dp._reparam_noise_full;
+        change them together (pinned by test_parallel equivalence tests).
         """
         x0 = jnp.transpose(X[:, 0], (0, 2, 3, 1))        # NHWC (N,d,d,1)
         s0_mu, s0_logv = self.encoder(x0, train)
         k_s, k_v = jax.random.split(key)
-        z0 = reparam_sample(k_s, s0_mu, s0_logv)
+        noise_s, noise_v = (reparam_noise if reparam_noise is not None
+                            else (None, None))
+        if noise_s is not None:
+            z0 = s0_mu + jnp.exp(0.5 * s0_logv) * noise_s
+        else:
+            z0 = reparam_sample(k_s, s0_mu, s0_logv)
         v0_mu = v0_logv = None
         if self.order == 2:
             # first `frames` frames stacked as channels (reference
             # odegpvae.py:60: squeeze(X[:, 0:v_steps]))
             xv = jnp.transpose(X[:, :self.frames, 0], (0, 2, 3, 1))
             v0_mu, v0_logv = self.encoder_v(xv, train)
-            v0 = reparam_sample(k_v, v0_mu, v0_logv)
+            if noise_v is not None:
+                v0 = v0_mu + jnp.exp(0.5 * v0_logv) * noise_v
+            else:
+                v0 = reparam_sample(k_v, v0_mu, v0_logv)
             z0 = jnp.concatenate([z0, v0], axis=1)
         return z0, (s0_mu, s0_logv), (v0_mu, v0_logv)
 
@@ -114,7 +137,8 @@ class ODEGPVAE(nn.Module):
         return imgs.reshape((L, N, T, 1, d, d))
 
     def __call__(self, X, gp: SVGPParams, key, L: int = 1,
-                 T_custom: Optional[int] = None, train: bool = True):
+                 T_custom: Optional[int] = None, train: bool = True,
+                 reparam_noise=None):
         """Full forward pass (reference odegpvae.py:48-70).
 
         @param X: (N, T, 1, d, d) sequences (reference layout)
@@ -126,8 +150,10 @@ class ODEGPVAE(nn.Module):
                  (v0_mu, v0_logv), nfe
         """
         T = X.shape[1] if T_custom is None else T_custom
+        # key-split structure mirrored by parallel.shard_dp (see encode)
         k_enc, k_traj = jax.random.split(key)
-        z0, s_stats, v_stats = self.encode(X, k_enc, train)
+        z0, s_stats, v_stats = self.encode(X, k_enc, train,
+                                           reparam_noise=reparam_noise)
         ztL, nfe = self.sample_trajectories(gp, z0, T, k_traj, L)
         Xrec = self.decode(ztL, train)
         return Xrec, s_stats, v_stats, nfe

@@ -29,6 +29,7 @@ class Encoder(nn.Module):
     latent_dim: int = 16
     n_filt: int = 8
     frames: int = 1   # input channels (velocity encoder stacks frames)
+    bn_axis: 'str | None' = None  # shard_map axis for global-batch BN
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -40,11 +41,11 @@ class Encoder(nn.Module):
         pad = ((2, 2), (2, 2))
         x = nn.Conv(nf, (5, 5), strides=2, padding=pad)(x)          # 14x14
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, axis_name=self.bn_axis)(x)
         x = nn.relu(x)
         x = nn.Conv(nf * 2, (5, 5), strides=2, padding=pad)(x)      # 7x7
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(x)
+                         epsilon=1e-5, axis_name=self.bn_axis)(x)
         x = nn.relu(x)
         x = nn.Conv(nf * 4, (5, 5), strides=2, padding=pad)(x)      # 4x4
         x = nn.relu(x)
@@ -57,6 +58,7 @@ class Encoder(nn.Module):
 class Decoder(nn.Module):
     latent_dim: int = 16
     n_filt: int = 8
+    bn_axis: 'str | None' = None  # shard_map axis for global-batch BN
 
     @nn.compact
     def __call__(self, z, train: bool = True):
@@ -75,17 +77,17 @@ class Decoder(nn.Module):
         s = nn.ConvTranspose(nf * 8, (3, 3), strides=(1, 1),
                              padding=tpad(3, 0))(s)                 # 6x6
         s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(s)
+                         epsilon=1e-5, axis_name=self.bn_axis)(s)
         s = nn.relu(s)
         s = nn.ConvTranspose(nf * 4, (5, 5), strides=(2, 2),
                              padding=tpad(5, 1))(s)                 # 13x13
         s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(s)
+                         epsilon=1e-5, axis_name=self.bn_axis)(s)
         s = nn.relu(s)
         s = nn.ConvTranspose(nf * 2, (5, 5), strides=(2, 2),
                              padding=tpad(5, 1, op=1))(s)           # 28x28
         s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5)(s)
+                         epsilon=1e-5, axis_name=self.bn_axis)(s)
         s = nn.relu(s)
         s = nn.ConvTranspose(1, (5, 5), strides=(1, 1),
                              padding=tpad(5, 2))(s)                 # 28x28
