@@ -9,6 +9,11 @@ Variants:
                  selected via ops.pathwise fallback threshold monkeypatch
   fuseflow     - whole-trajectory fused kernel (set_fuse_flow(True))
   pallas_noremat / df - remat off / DF kernel
+  df_fused     - DF kernel through the fused whole-trajectory Pallas
+                 program (ops.df_flow_fused; round-3 VERDICT #3)
+  xla_highest  - pure XLA with jax_default_matmul_precision='highest'
+                 (the f32-accuracy-without-Pallas candidate default for
+                 the non-fused solver paths; round-3 VERDICT #7)
 
 Usage:
   python bench_variants.py [--L 1 5] [--steps 30] [--reps 5]
@@ -42,6 +47,11 @@ parser.add_argument('--batch', type=int, default=20)
 parser.add_argument('--T', type=int, default=16)
 parser.add_argument('--M', type=int, default=100)
 parser.add_argument('--S', type=int, default=256)
+parser.add_argument('--solver', type=str, default='euler',
+                    help='ODE solver for the model under test (the '
+                         'fused-flow variants require euler; use '
+                         'midpoint/rk4/dopri5 for the non-fused-path '
+                         'default decision, VERDICT r2 #7)')
 parser.add_argument('--scan', type=eval, default=False,
                     help='measure the step inside a scanned epoch (true '
                          'device speed; the per-step protocol is remote-'
@@ -77,6 +87,16 @@ def main():
         restore = lambda: None                            # noqa: E731
         if name == 'xla':
             ops_config.set_use_pallas(False)
+        elif name == 'xla_highest':
+            # pure XLA but with f32 matmul accumulation everywhere -
+            # the candidate accuracy-without-Pallas default (the config
+            # is read at trace time; warm-up compiles under it)
+            import jax as _jax
+            prev = _jax.config.jax_default_matmul_precision
+            _jax.config.update('jax_default_matmul_precision', 'highest')
+            ops_config.set_use_pallas(False)
+            restore = lambda: _jax.config.update(       # noqa: E731
+                'jax_default_matmul_precision', prev)
         elif name == 'pallas_jnpbwd':
             def jnp_bwd(interpret, res, g):
                 _, vjp = jax.vjp(pathwise.pathwise_eval_reference, *res)
@@ -95,6 +115,10 @@ def main():
             # DF through the jnp/XLA graph (pre-fused-kernel behaviour)
             ops_config.set_use_pallas(False)
             kw['kernel'] = 'DF'
+        elif name == 'df_fused':
+            # DF whole-trajectory fused Pallas kernel (round-3)
+            ops_config.set_fuse_flow(True)
+            kw['kernel'] = 'DF'
         return kw, restore
 
     def build_runner(name, L):
@@ -106,7 +130,7 @@ def main():
             model, variables, gp = init_model(
                 jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
                 num_features=S, num_inducing=M, batch=BATCH, T=T,
-                solver='euler', remat=kw.get('remat', True),
+                solver=args.solver, remat=kw.get('remat', True),
                 kernel=kw.get('kernel', 'RBF'))
             state0, tx = create_train_state(model, variables, gp, lr=1e-3)
             if args.scan:

@@ -70,7 +70,7 @@ def test_feature_parallel_fn_eval_matches():
     x = jax.random.normal(jax.random.PRNGKey(2), (10, 4))
     f_ref = svgp.fn_eval(gp, ref_sample, x)
 
-    fp_sample = fp_draw_fn_sample(gp, key, S, mesh)
+    fp_sample = fp_draw_fn_sample(gp, key, S, mesh, local_draws=False)
     f_fp = fp_fn_eval(gp, fp_sample, x, mesh)
     np.testing.assert_allclose(np.asarray(f_fp), np.asarray(f_ref),
                                rtol=1e-4, atol=1e-5)
@@ -84,7 +84,7 @@ def test_feature_parallel_shared_lengthscale():
     ref_sample = svgp.draw_fn_sample(gp, key, 32)
     x = jax.random.normal(jax.random.PRNGKey(5), (6, 3))
     f_ref = svgp.fn_eval(gp, ref_sample, x)
-    fp_sample = fp_draw_fn_sample(gp, key, 32, mesh)
+    fp_sample = fp_draw_fn_sample(gp, key, 32, mesh, local_draws=False)
     f_fp = fp_fn_eval(gp, fp_sample, x, mesh)
     np.testing.assert_allclose(np.asarray(f_fp), np.asarray(f_ref),
                                rtol=1e-4, atol=1e-5)
@@ -147,7 +147,7 @@ def test_feature_parallel_flow_matches():
 
     zt_ref, nfe_ref = flow_forward(gp, sample, z0, ts, order=1,
                                    solver='rk4')
-    fp_sample = fp_draw_fn_sample(gp, key, S, mesh)
+    fp_sample = fp_draw_fn_sample(gp, key, S, mesh, local_draws=False)
     zt_fp, nfe_fp = fp_flow_forward(gp, fp_sample, z0, ts, mesh,
                                     order=1, solver='rk4')
     np.testing.assert_allclose(np.asarray(zt_fp), np.asarray(zt_ref),
@@ -282,3 +282,48 @@ def test_shardmap_dp_epoch_matches_single_device():
                                rtol=2e-2, atol=1e-5)
     # NaN-guard semantics must agree across paths too
     assert int(sn.step) == int(s1.step) == 3
+
+
+def test_feature_parallel_sharded_draw_matches_oracle():
+    """The default shard-local RFF draw (VERDICT r2 #8) never
+    materialises the full (D_in, S, D_out) omega on any device; each
+    device draws its S/n slice from a mesh-index-folded key. Pinned here
+    against a single-device oracle that replays the same folded keys."""
+    from vae_gp_ode_tpu.kernels import rbf as rbfk
+
+    mesh = make_mesh({'model': 8})
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=4, D_out=4,
+                               M=12, kernel='RBF', dimwise=True)
+    key = jax.random.PRNGKey(1)
+    S = 64
+    s_sh = fp_draw_fn_sample(gp, key, S, mesh)
+    # the global arrays are laid out S/n per device
+    assert s_sh.rff.omega.shape == (4, S, 4)
+    for sh in s_sh.rff.omega.addressable_shards:
+        assert sh.data.shape == (4, S // 8, 4)
+    # oracle: same folded keys, drawn and assembled on one device
+    k_rff, k_u = jax.random.split(key)
+    parts = [rbfk.rbf_sample_rff(gp.kernel, jax.random.fold_in(k_rff, i),
+                                 S // 8, 4, 4) for i in range(8)]
+    rff_o = rbfk.RFFState(
+        omega=jnp.concatenate([r.omega for r in parts], axis=1),
+        phase=jnp.concatenate([r.phase for r in parts], axis=1),
+        weights=jnp.concatenate([r.weights for r in parts], axis=0))
+    u = svgp.sample_inducing(gp, k_u)
+    u_prior = rbfk.rbf_rff_eval(gp.kernel, rff_o, gp.inducing_loc)
+    nu = rbfk.rbf_compute_nu(gp.kernel,
+                             rbfk.rbf_gram(gp.kernel, gp.inducing_loc),
+                             u_prior, u)
+    x = jax.random.normal(jax.random.PRNGKey(2), (10, 4))
+    f_sh = fp_fn_eval(gp, s_sh, x, mesh)
+    f_o = svgp.fn_eval(gp, svgp.FnSample(rff=rff_o, nu=nu), x)
+    np.testing.assert_allclose(np.asarray(f_sh), np.asarray(f_o),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_feature_parallel_sharded_draw_validation():
+    mesh = make_mesh({'model': 8})
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=4, D_out=4,
+                               M=12, kernel='RBF')
+    with pytest.raises(ValueError, match='S % n_devices'):
+        fp_draw_fn_sample(gp, jax.random.PRNGKey(1), 60, mesh)

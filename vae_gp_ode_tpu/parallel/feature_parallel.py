@@ -19,42 +19,106 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from vae_gp_ode_tpu.gp.svgp import SVGPParams, FnSample, draw_fn_sample
+from vae_gp_ode_tpu.gp.svgp import (SVGPParams, FnSample, draw_fn_sample,
+                                    sample_inducing)
 from vae_gp_ode_tpu.kernels import rbf as rbfk
 
 
-def fp_draw_fn_sample(gp: SVGPParams, key, S, mesh, axis='model'):
-    """Draw a pathwise sample whose RFF state is sharded over `axis`.
-
-    The draw itself is replicated-deterministic (same key on every device);
-    we draw the full sample and then shard the feature axis of (omega,
-    phase, weights). nu (M x D) stays replicated - M=100 is tiny and its
-    Cholesky is a single-device op by design.
-    """
+def _check_rbf(gp: SVGPParams):
     if gp.kernel_name != 'RBF':
         raise ValueError(
             f'feature parallelism supports the RBF kernel only (got '
             f'{gp.kernel_name!r}): the DF kernel couples outputs through '
             f'its (M*D, M*D) gram and ORFF weights, which do not shard '
             f'over the feature axis without a distributed Cholesky')
-    sample = draw_fn_sample(gp, key, S)
-    rff = sample.rff
-    if gp.kernel.dimwise:
+
+
+def _prior_partial(kernel, omega, phase, weights, xs, S_global):
+    """One device's partial prior term Phi_shard(xs) w_shard, with the
+    quirk-preserving sqrt(var / S_global) scaling (the scale must use the
+    GLOBAL feature count so the psum of partials equals the full-S eval)."""
+    var = rbfk.rbf_variance(kernel)
+    if kernel.dimwise:
+        xo = jnp.einsum('nd,dfk->nfk', xs, omega)
+        phi = jnp.cos(xo + phase) * jnp.sqrt(var / S_global)
+        return jnp.einsum('nfk,fk->nk', phi, weights)
+    xo = xs @ omega
+    phi = jnp.cos(xo + phase) * jnp.sqrt(var / S_global)
+    return phi @ weights
+
+
+def fp_draw_fn_sample(gp: SVGPParams, key, S, mesh, axis='model',
+                      local_draws=True):
+    """Draw a pathwise sample whose RFF state is sharded over `axis`.
+
+    With `local_draws=True` (default) the draw itself is SHARDED: each
+    device folds its mesh index into the RFF key and draws only its
+    S/n_devices feature slice inside shard_map, so the full (D_in, S,
+    D_out) omega is never materialised on any device - per-device memory
+    is O(S / n_devices), which is what makes S in the tens of thousands
+    feasible (VERDICT r2 #8; tools/fp_large_s_bench.py measures it).
+    The per-device slices are iid N(0, diag(1/ls^2)) exactly like the
+    single-key draw, so the sample is distributionally identical (but not
+    bit-identical) to `draw_fn_sample`; the inducing draw u ~ q(u) uses
+    the same key on every device (replicated-deterministic), the prior
+    at Z is psum'd from the per-device partials, and the tiny (M, D)
+    Cholesky solve for nu stays replicated by design.
+
+    `local_draws=False` keeps the replicate-then-shard behaviour (draw
+    the full sample with the single key, then lay the feature axis out
+    over the mesh) - bit-identical to the single-device sample, used by
+    the exact-equivalence tests; O(S) memory at draw time.
+    """
+    _check_rbf(gp)
+    dimwise = gp.kernel.dimwise
+    if dimwise:
         spec_om = P(None, axis, None)    # (D_in, S, D_out)
         spec_ph = P(None, axis, None)    # (1, S, D_out)
     else:
         spec_om = P(None, axis)          # (D_in, S)
         spec_ph = P(None, axis)          # (1, S)
     spec_w = P(axis, None)               # (S, D_out)
-    sharded_rff = rbfk.RFFState(
-        omega=jax.device_put(rff.omega,
-                             jax.sharding.NamedSharding(mesh, spec_om)),
-        phase=jax.device_put(rff.phase,
-                             jax.sharding.NamedSharding(mesh, spec_ph)),
-        weights=jax.device_put(rff.weights,
-                               jax.sharding.NamedSharding(mesh, spec_w)),
-    )
-    return FnSample(rff=sharded_rff, nu=sample.nu)
+
+    if not local_draws:
+        sample = draw_fn_sample(gp, key, S)
+        rff = sample.rff
+        sharded_rff = rbfk.RFFState(
+            omega=jax.device_put(rff.omega,
+                                 jax.sharding.NamedSharding(mesh, spec_om)),
+            phase=jax.device_put(rff.phase,
+                                 jax.sharding.NamedSharding(mesh, spec_ph)),
+            weights=jax.device_put(rff.weights,
+                                   jax.sharding.NamedSharding(mesh, spec_w)),
+        )
+        return FnSample(rff=sharded_rff, nu=sample.nu)
+
+    ndev = mesh.shape[axis]
+    if S % ndev != 0:
+        raise ValueError(f'sharded draw needs S % n_devices == 0 '
+                         f'(got S={S}, n_devices={ndev})')
+    S_local = S // ndev
+    Z = gp.inducing_loc
+
+    def draw_shard(k):
+        i = jax.lax.axis_index(axis)
+        k_rff, _ = jax.random.split(k[0])
+        rff = rbfk.rbf_sample_rff(gp.kernel, jax.random.fold_in(k_rff, i),
+                                  S_local, gp.D_in, gp.D_out)
+        part = _prior_partial(gp.kernel, rff.omega, rff.phase,
+                              rff.weights, Z, S)
+        u_prior = jax.lax.psum(part, axis)
+        return rff.omega, rff.phase, rff.weights, u_prior
+
+    omega, phase, weights, u_prior = shard_map(
+        draw_shard, mesh=mesh, in_specs=(P(),),
+        out_specs=(spec_om, spec_ph, spec_w, P()),
+        check_vma=False)(key[None])
+    _, k_u = jax.random.split(key)
+    u = sample_inducing(gp, k_u)
+    Ku = rbfk.rbf_gram(gp.kernel, Z)
+    nu = rbfk.rbf_compute_nu(gp.kernel, Ku, u_prior, u)
+    return FnSample(rff=rbfk.RFFState(omega=omega, phase=phase,
+                                      weights=weights), nu=nu)
 
 
 def fp_fn_eval(gp: SVGPParams, sample: FnSample, x, mesh, axis='model'):
@@ -73,15 +137,8 @@ def fp_fn_eval(gp: SVGPParams, sample: FnSample, x, mesh, axis='model'):
         specs_in = (P(None, axis), P(None, axis), P(axis, None), P())
 
     def prior_shard(omega, phase, weights, xs):
-        var = rbfk.rbf_variance(gp.kernel)
-        if dimwise:
-            xo = jnp.einsum('nd,dfk->nfk', xs, omega)
-            phi = jnp.cos(xo + phase) * jnp.sqrt(var / S_global)
-            part = jnp.einsum('nfk,fk->nk', phi, weights)
-        else:
-            xo = xs @ omega
-            phi = jnp.cos(xo + phase) * jnp.sqrt(var / S_global)
-            part = phi @ weights
+        part = _prior_partial(gp.kernel, omega, phase, weights, xs,
+                              S_global)
         return jax.lax.psum(part, axis)
 
     f_prior = shard_map(
