@@ -169,3 +169,26 @@ def test_batchnorm_train_eval_modes():
     assert any(not np.allclose(b, a) for b, a in zip(before, after))
     # eval mode must not require mutability
     enc.apply(vars_, x, train=False)
+
+
+def test_vae_wrapper_test_helper():
+    """VAE.test (reference vae.py:37-45): eval-mode encode -> sample ->
+    decode. Deterministic given the key, BN running stats (not batch
+    stats) used, output in (0, 1)."""
+    from vae_gp_ode_tpu.models.vae import VAE
+
+    m = VAE(latent_dim=8, n_filt=4)
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (3, 28, 28, 1))
+    variables = m.init(k, x, k, train=True)
+    y1 = m.apply(variables, x, jax.random.PRNGKey(2), method=VAE.test)
+    y2 = m.apply(variables, x, jax.random.PRNGKey(2), method=VAE.test)
+    assert y1.shape == (3, 28, 28, 1)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    assert float(y1.min()) > 0.0 and float(y1.max()) < 1.0
+    # eval mode must NOT mutate batch_stats (reference sets .eval())
+    y3, ups = m.apply(variables, x, jax.random.PRNGKey(2),
+                      method=VAE.test, mutable=['batch_stats'])
+    for a, b in zip(jax.tree_util.tree_leaves(ups['batch_stats']),
+                    jax.tree_util.tree_leaves(variables['batch_stats'])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

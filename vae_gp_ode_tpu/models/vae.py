@@ -125,3 +125,39 @@ def reparam_sample(key, mu, logvar):
     import jax
     eps = jax.random.normal(key, mu.shape, mu.dtype)
     return mu + jnp.exp(0.5 * logvar) * eps
+
+
+class VAE(nn.Module):
+    """Standalone encoder/decoder pair (reference vae.py:10-45).
+
+    The coupled model composes Encoder/Decoder itself (models.odegpvae);
+    this wrapper exists for the pretraining workflow and for the
+    reference's `VAE.test` convenience: encode -> reparameterised sample
+    -> decode in eval mode (reference vae.py:37-45). `order=2` adds the
+    velocity encoder over `frames` stacked input frames like the
+    reference, so pretrained weights transplant 1:1 into ODEGPVAE.
+    """
+
+    latent_dim: int = 8
+    n_filt: int = 8
+    frames: int = 1
+    order: int = 1
+
+    def setup(self):
+        self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1)
+        self.decoder = Decoder(self.latent_dim, self.n_filt)
+        if self.order == 2:
+            self.encoder_v = Encoder(self.latent_dim, self.n_filt,
+                                     frames=self.frames)
+
+    def __call__(self, x, key, train: bool = True):
+        """Encode -> sample -> decode; returns (xrec, mu, logvar)."""
+        mu, logvar = self.encoder(x, train)
+        z = reparam_sample(key, mu, logvar)
+        return self.decoder(z, train), mu, logvar
+
+    def test(self, x, key):
+        """reference vae.py:37-45: eval-mode encode, one latent sample,
+        decode. `x` is NHWC (N, 28, 28, 1); returns the reconstruction."""
+        xrec, _, _ = self(x, key, train=False)
+        return xrec
