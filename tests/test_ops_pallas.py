@@ -394,7 +394,7 @@ def test_fused_euler_flow_tiled_vmapped_L(monkeypatch):
 
 def test_fused_euler_flow_large_batch_real_tiles():
     """The real >_SINGLE_BLOCK_N dispatch (no monkeypatching): N=600 takes
-    the 256-row grid path with a ragged 88-row tail. Forward parity plus
+    the 128-row grid path with a ragged 88-row tail. Forward parity plus
     one gradient; pins the shipped-default dispatch decision that
     VERDICT round 2 found broken at large batch."""
     from vae_gp_ode_tpu.ops.flow_fused import (
@@ -411,6 +411,32 @@ def test_fused_euler_flow_large_batch_real_tiles():
     gr = jax.grad(lambda w: jnp.sum(
         euler_flow_reference(args[0], args[1], args[2], w, *args[4:],
                              0.1, T, 1) ** 2))(args[3])
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-3, atol=1e-5)
+
+
+def test_fused_euler_flow_boundary_320_tiles():
+    """N=320 must take the TILED path: round 3 measured that single-block
+    compiles standalone at 512 rows but fails INSIDE the full train step
+    above 256 (v5e remote compile), so the shipped boundary is 256 and
+    320 is the first production-relevant size past it. Pins both the
+    dispatch decision and parity at the boundary."""
+    from vae_gp_ode_tpu.ops import flow_fused as ff
+    assert ff._SINGLE_BLOCK_N == 256, (
+        'threshold changed - re-run tools/probe_fused_batch.py on the '
+        'TPU (full-train-step section) before shipping a new boundary')
+    T = 3
+    args = _flow_args(jax.random.PRNGKey(17), N=320)
+    out = ff.fused_euler_flow(*args, 0.1, T, 1, True)
+    ref = ff.euler_flow_reference(*args, 0.1, T, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+    gf = jax.grad(lambda w: jnp.sum(
+        ff.fused_euler_flow(args[0], args[1], args[2], w, *args[4:],
+                            0.1, T, 1, True) ** 2))(args[3])
+    gr = jax.grad(lambda w: jnp.sum(
+        ff.euler_flow_reference(args[0], args[1], args[2], w, *args[4:],
+                                0.1, T, 1) ** 2))(args[3])
     np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
                                rtol=1e-3, atol=1e-5)
 
@@ -603,6 +629,19 @@ def test_df_euler_flow_grads_match_reference():
         *args, d, T) ** 2))(dts)
     np.testing.assert_allclose(np.asarray(gt_f), np.asarray(gt_r),
                                rtol=5e-3, atol=1e-6, err_msg='dts')
+
+
+def test_df_fused_thresholds_pinned():
+    """The DF fused-flow dispatch thresholds are HALF the RBF kernel's:
+    its live (N, 2*S*D) cos+sin ORFF block is twice as wide, and the
+    in-step v5e measurement (tools/probe_fused_batch.py, round 3) shows
+    256/128 failing to compile inside the train step while 128/64 runs
+    at N up to 1280. Changing these requires re-running the probe's
+    full-train-step section on real TPU."""
+    from vae_gp_ode_tpu.ops import df_flow_fused as dff
+    from vae_gp_ode_tpu.ops import flow_fused as ff
+    assert dff._SINGLE_BLOCK_N == 128 and dff._TILE_N == 64
+    assert ff._SINGLE_BLOCK_N == 256 and ff._TILE_N == 128
 
 
 def test_df_euler_flow_tiled_grid(monkeypatch):

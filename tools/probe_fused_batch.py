@@ -2,8 +2,16 @@
 compile AND run (value-fetch-verified, grads included) at production shapes
 for batch sizes up to 5120 under shipped defaults.
 
-Run on the TPU:  python tools/probe_fused_batch.py
-Prints one line per (N, order) case; exits non-zero on any failure.
+Two sections:
+  1. kernel-only: fused_euler_flow forward + grad at N in {20..5120}.
+  2. FULL TRAIN STEP (the configuration that actually regressed in round
+     3: N=320 passed kernel-only probing but failed the in-step compile,
+     because value_and_grad + remat + the L-vmap raise the real VMEM
+     pressure): make_train_step under shipped defaults for RBF and DF
+     at N around the single-block/tiled boundary and at scale.
+
+Run on the TPU:  python tools/probe_fused_batch.py [--quick]
+Prints one line per case; exits non-zero on any failure.
 """
 
 import os
@@ -57,9 +65,50 @@ def main():
                 print(f'N={N:5d} order={order}: FAIL {type(e).__name__}: '
                       f'{str(e)[:200]}', flush=True)
                 failures += 1
+    failures += probe_train_step()
     print(f'probe {"PASSED" if failures == 0 else "FAILED"} '
           f'({failures} failures)')
     return 1 if failures else 0
+
+
+def probe_train_step():
+    """Full train step under shipped defaults at batch sizes spanning the
+    single-block/tiled dispatch boundary (256) and production scale."""
+    from vae_gp_ode_tpu.models.odegpvae import init_model
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_train_step)
+
+    T, Q, M, S = 16, 6, 100, 256
+    failures = 0
+    for kernel in ('RBF', 'DF'):
+        for N in (20, 256, 320, 512, 1280):
+            kw = ({'kernel': 'DF', 'D_in': Q, 'D_out': Q}
+                  if kernel == 'DF' else {})
+            model, variables, gp = init_model(
+                jax.random.PRNGKey(0), latent_dim=Q, n_filt=8, order=1,
+                num_features=S, num_inducing=M, batch=N, T=T,
+                solver='euler', **kw)
+            state, tx = create_train_state(model, variables, gp, lr=1e-3)
+            X = jax.random.uniform(jax.random.PRNGKey(1),
+                                   (N, T, 1, 28, 28))
+            X = (X - 0.1307) / 0.3081
+            step = make_train_step(model, tx, num_observations=360.0,
+                                   eps_guard=True)
+            try:
+                t0 = time.time()
+                st, m = step(state, X, jax.random.PRNGKey(2), 1)
+                v = float(m['loss'])                # value fetch = proof
+                ok = v == v
+                print(f'train_step {kernel} N={N:5d}: '
+                      f'{"OK " if ok else "NaN"} loss={v:.4e} '
+                      f'compile+run={time.time() - t0:.0f}s', flush=True)
+                if not ok:
+                    failures += 1
+            except Exception as e:  # noqa: BLE001 - report, keep probing
+                print(f'train_step {kernel} N={N:5d}: FAIL '
+                      f'{type(e).__name__}: {str(e)[:200]}', flush=True)
+                failures += 1
+    return failures
 
 
 if __name__ == '__main__':

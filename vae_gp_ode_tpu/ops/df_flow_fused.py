@@ -38,10 +38,14 @@ from vae_gp_ode_tpu.ops.df_pathwise import (
     df_pathwise_reference, _df_eval_body, _df_eval_vjp_body,
 )
 
-# same measured-safe thresholds as ops.flow_fused (the live per-step
-# intermediate set is the same (N, S*D) trig block)
-_SINGLE_BLOCK_N = 512
-_TILE_N = 128
+# HALF of ops.flow_fused's measured-safe thresholds: the DF live
+# per-step intermediate set is the (N, 2*S*D) cos+sin ORFF block - twice
+# the RBF kernel's width - so the same VMEM budget halves the rows.
+# Measured INSIDE the full train step on a v5e (value_and_grad + remat +
+# L-vmap; tools/probe_fused_batch.py): single-block/tile 256/128 fails
+# to compile at N>=256, 128/64 compiles and runs at N up to 1280.
+_SINGLE_BLOCK_N = 128
+_TILE_N = 64
 
 
 def df_euler_flow_reference(z0, omf, phf, G, Z, nur, ls2, var, dts, T):

@@ -161,13 +161,17 @@ def _make_kernel(T, order, K, S, M):
 
 
 # Above this batch size the single-block program's (N, K*S) step
-# intermediates overflow VMEM (measured on a real v5e: N=1280 at
-# K=6/S=256 fails remote compilation); the grid-tiled variant below
-# keeps every per-program intermediate at (TILE, K*S). TILE=128 is the
-# largest measured-safe tile: at 256 the BACKWARD kernel (~12 live
-# (TILE, K*S) intermediates + the cotangent carry) still crashes the
-# v5e compiler, while 128 compiles and runs at N=5120.
-_SINGLE_BLOCK_N = 512
+# intermediates overflow VMEM; the grid-tiled variant below keeps every
+# per-program intermediate at (TILE, K*S). Thresholds measured on a real
+# v5e INSIDE the full train step (value_and_grad + remat + L-vmap - the
+# standalone kernel tolerates more, which round 3 learned the hard way
+# when N=320 passed kernel-only probing but failed the train step):
+# single-block compiles+runs in-step at N=256 and fails at N=320, so the
+# boundary is 256. TILE=128 is the largest measured-safe tile: at 256
+# the BACKWARD kernel (~12 live (TILE, K*S) intermediates + the
+# cotangent carry) crashes the v5e compiler, while 128 compiles and runs
+# in-step at N up to 5120 (tools/probe_fused_batch.py).
+_SINGLE_BLOCK_N = 256
 _TILE_N = 128
 
 
