@@ -1,0 +1,39 @@
+#!/bin/bash
+# Round-3 remaining TPU measurements, run sequentially in one process
+# chain so a single launch finishes the queue even if the driving
+# session dies. Appends JSON lines to results/*.jsonl + a progress log.
+cd /root/repo
+LOG=/tmp/r3_queue.log
+echo "=== r3 TPU queue start $(date)" >> $LOG
+
+echo "--- batch scaling" >> $LOG
+python tools/batch_scaling_r3.py > results/batch_scaling_r3.jsonl 2>>$LOG
+echo "batch_scaling rc=$?" >> $LOG
+
+echo "--- A/B df vs df_fused (VERDICT #3)" >> $LOG
+python bench_variants.py --ab df df_fused --scan True --L 1 \
+  > /tmp/ab_df_fused.jsonl 2>>$LOG
+echo "ab_df rc=$?" >> $LOG
+cat /tmp/ab_df_fused.jsonl >> results/ab_r3.jsonl
+
+echo "--- A/B xla_highest vs pallas, rk4 (VERDICT #7)" >> $LOG
+python bench_variants.py --ab xla_highest pallas --scan True --L 1 \
+  --solver rk4 > /tmp/ab_xh_rk4.jsonl 2>>$LOG
+echo "ab_xh_rk4 rc=$?" >> $LOG
+cat /tmp/ab_xh_rk4.jsonl >> results/ab_r3.jsonl
+
+echo "--- A/B xla_highest vs pallas, midpoint (VERDICT #7)" >> $LOG
+python bench_variants.py --ab xla_highest pallas --scan True --L 1 \
+  --solver midpoint > /tmp/ab_xh_mid.jsonl 2>>$LOG
+echo "ab_xh_mid rc=$?" >> $LOG
+cat /tmp/ab_xh_mid.jsonl >> results/ab_r3.jsonl
+
+echo "--- accuracy probe (VERDICT #7)" >> $LOG
+python tools/accuracy_probe_r3.py > results/accuracy_probe_r3.json 2>>$LOG
+echo "accuracy rc=$?" >> $LOG
+
+echo "--- bench.py sanity" >> $LOG
+python bench.py > /tmp/bench_r3.json 2>>$LOG
+echo "bench rc=$?" >> $LOG
+cat /tmp/bench_r3.json >> $LOG
+echo "=== r3 TPU queue done $(date)" >> $LOG
