@@ -27,10 +27,11 @@ import jax.numpy as jnp
 def main():
     from vae_gp_ode_tpu.ops.flow_fused import fused_euler_flow
 
+    quick = '--quick' in sys.argv[1:]
     K, S, M, T = 6, 256, 100, 16
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     failures = 0
-    for N in (20, 1280, 5120):
+    for N in ((20, 1280) if quick else (20, 1280, 5120)):
         for order in (1, 2):
             D = K * order
             args = (
@@ -65,15 +66,17 @@ def main():
                 print(f'N={N:5d} order={order}: FAIL {type(e).__name__}: '
                       f'{str(e)[:200]}', flush=True)
                 failures += 1
-    failures += probe_train_step()
+    failures += probe_train_step(quick)
     print(f'probe {"PASSED" if failures == 0 else "FAILED"} '
           f'({failures} failures)')
     return 1 if failures else 0
 
 
-def probe_train_step():
+def probe_train_step(quick=False):
     """Full train step under shipped defaults at batch sizes spanning the
-    single-block/tiled dispatch boundary (256) and production scale."""
+    single-block/tiled dispatch boundary (256) and production scale.
+    --quick keeps only the boundary cases (320 = first size past the RBF
+    single-block limit; 256 = the limit itself)."""
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.training.trainer import (
         create_train_state, make_train_step)
@@ -81,7 +84,7 @@ def probe_train_step():
     T, Q, M, S = 16, 6, 100, 256
     failures = 0
     for kernel in ('RBF', 'DF'):
-        for N in (20, 256, 320, 512, 1280):
+        for N in ((256, 320) if quick else (20, 256, 320, 512, 1280)):
             kw = ({'kernel': 'DF', 'D_in': Q, 'D_out': Q}
                   if kernel == 'DF' else {})
             model, variables, gp = init_model(

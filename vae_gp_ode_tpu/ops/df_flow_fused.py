@@ -64,13 +64,9 @@ def df_euler_flow_reference(z0, omf, phf, G, Z, nur, ls2, var, dts, T):
     return jnp.concatenate([z0[None], zs], axis=0)
 
 
-def _pad_rows(x, rows):
-    """Zero-pad the leading axis to `rows` (padding rows integrate to
-    finite trajectories and carry zero cotangents - see flow_fused)."""
-    if x.shape[0] == rows:
-        return x
-    pad = jnp.zeros((rows - x.shape[0],) + x.shape[1:], x.dtype)
-    return jnp.concatenate([x, pad], axis=0)
+# zero-pad helper shared with the RBF trajectory kernel (padding rows
+# integrate to finite trajectories and carry zero cotangents)
+from vae_gp_ode_tpu.ops.flow_fused import _pad_rows  # noqa: E402
 
 
 def _make_fwd_kernel(T, D, SD):
@@ -312,9 +308,11 @@ def _pallas_df_flow_bwd(zs, zsbar, omf, phf, G, Zt, nurT, ls2, var_row,
 def packed_df_euler_flow(z0, omf, phf, G, Z, nur, ls2, var, dts, T,
                          interpret=False):
     """Euler DF-GP-ODE flow: Pallas forward AND Pallas discrete-adjoint
-    backward (both single kernels; grid-tiled above 512 rows). Operand
-    layout matches ops.df_pathwise.fused_df_pathwise_eval; returns zs
-    (T, N, D) with zs[0] = z0."""
+    backward (both single kernels; grid-tiled above _SINGLE_BLOCK_N=128
+    rows - half the RBF kernel's boundary, see the threshold comment at
+    the top of this module). Operand layout matches
+    ops.df_pathwise.fused_df_pathwise_eval; returns zs (T, N, D) with
+    zs[0] = z0."""
     return _pallas_df_flow(z0, omf, phf, G, Z.T, nur.T, ls2,
                            var.reshape(1, -1), dts, T,
                            interpret=interpret)

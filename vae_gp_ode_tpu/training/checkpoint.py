@@ -84,6 +84,7 @@ def _validate_like(leaves, like, src_fingerprint=None):
                 'count/shapes match, so this is probably benign '
                 'dataclass-version drift); verify the restored state',
                 stacklevel=3)
+    return out
 
 
 def save_checkpoint(state, path):
@@ -121,7 +122,7 @@ def restore_checkpoint(path, like=None):
         leaves = [data[f'leaf_{i}'] for i in range(n)]
         fp = str(data['__treedef__']) if '__treedef__' in data.files \
             else None
-        _validate_like(leaves, like, fp)
+        leaves = _validate_like(leaves, like, fp)
         return jax.tree_util.tree_unflatten(
             jax.tree_util.tree_structure(like), leaves)
     warnings.warn(
@@ -133,7 +134,7 @@ def restore_checkpoint(path, like=None):
     if like is None:
         return host
     leaves = jax.tree_util.tree_leaves(host)
-    _validate_like(leaves, like, _treedef_fingerprint(host))
+    leaves = _validate_like(leaves, like, _treedef_fingerprint(host))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), leaves)
 
