@@ -67,3 +67,41 @@ def test_model_with_dopri5_trains():
     state, m = step(state, X, jax.random.PRNGKey(2), 1)
     assert np.isfinite(float(m['loss']))
     assert int(m['nfe']) > 3   # adaptive used more than the grid steps
+
+
+def test_epoch_cost_analysis_counts_scan_body_once():
+    """bench.py's model_flops_per_step uses the epoch lowering's HLO cost
+    directly because XLA cost analysis counts a lax.scan body ONCE, not
+    trip-count times. Pin that behaviour: if a jax upgrade starts
+    multiplying by the trip count, this fails and bench.py must divide
+    by iters_per_epoch again (round-3 review finding)."""
+    from vae_gp_ode_tpu.training.trainer import (
+        create_train_state, make_train_epoch, make_train_step)
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=8, num_inducing=6, batch=2, T=4)
+    state, tx = create_train_state(model, variables, gp, lr=1e-3)
+    key = jax.random.PRNGKey(1)
+
+    def epoch_flops(iters):
+        epoch = make_train_epoch(model, tx, 360.0, True)
+        batches = jax.random.uniform(
+            jax.random.PRNGKey(2), (iters, 2, 4, 1, 28, 28))
+        c = epoch.lower(state, batches, key, 1).cost_analysis()
+        if isinstance(c, (list, tuple)):
+            c = c[0]
+        return float(c['flops'])
+
+    f2, f6 = epoch_flops(2), epoch_flops(6)
+    assert f2 == pytest.approx(f6, rel=1e-6), (
+        'scan body no longer counted once: epoch cost now scales with '
+        'iters - restore the /iters_per_epoch division in bench.py')
+
+    step = make_train_step(model, tx, num_observations=360.0,
+                           eps_guard=True)
+    X = jax.random.uniform(jax.random.PRNGKey(2), (2, 4, 1, 28, 28))
+    cs = step.lower(state, X, key, 1).cost_analysis()
+    if isinstance(cs, (list, tuple)):
+        cs = cs[0]
+    assert f2 == pytest.approx(float(cs['flops']), rel=0.01), (
+        'epoch lowering cost should equal one train_step lowering cost')
