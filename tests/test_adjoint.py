@@ -175,3 +175,33 @@ def test_flow_forward_adjoint_dopri5_gp():
     np.testing.assert_allclose(ga, gd, rtol=0.05, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g_adj.Um), np.asarray(g_dir.Um),
                                rtol=0.05, atol=1e-3)
+
+
+def test_flow_forward_adjoint_bdf_gp():
+    """bdf adjoint through the real GP field at a non-toy parameter count
+    (S=64 RFF draws: the flat theta is thousands of floats). The old
+    ravelled backward built a dense (P, P) Jacobian over ALL of theta per
+    Newton iteration - infeasible here; the structured branch (z-only
+    Newton + linear (D, D) a-solve + gth quadrature) must both run and
+    match rematerialised backprop gradients."""
+    gp = svgp.init_svgp_params(jax.random.PRNGKey(0), D_in=3, D_out=3,
+                               M=16, kernel='RBF')
+    ts = 0.1 * jnp.arange(5)
+    z0 = jax.random.normal(jax.random.PRNGKey(1), (4, 3)) * 0.5
+
+    def loss(gp_, use_adjoint):
+        s = svgp.draw_fn_sample(gp_, jax.random.PRNGKey(2), S=64)
+        fwd = flow_forward_adjoint if use_adjoint else flow_forward
+        zt, _ = fwd(gp_, s, z0, ts, order=1, solver='bdf', dense=4)
+        return jnp.sum(zt ** 2)
+
+    np.testing.assert_allclose(float(loss(gp, True)),
+                               float(loss(gp, False)), rtol=1e-5)
+    g_adj = jax.grad(lambda g: loss(g, True))(gp)
+    g_dir = jax.grad(lambda g: loss(g, False))(gp)
+    ga = np.asarray(g_adj.kernel.unconstrained_lengthscales)
+    gd = np.asarray(g_dir.kernel.unconstrained_lengthscales)
+    assert np.isfinite(ga).all()
+    np.testing.assert_allclose(ga, gd, rtol=0.1, atol=5e-3)
+    np.testing.assert_allclose(np.asarray(g_adj.Um), np.asarray(g_dir.Um),
+                               rtol=0.1, atol=5e-3)

@@ -243,3 +243,28 @@ def test_dopri5_against_scipy_rk45_oracle(z0):
         # comparable work at the same tolerance (f32 vs scipy's f64)
         assert int(sol_j.nfe) < nfe_ratio * sol_s.nfev, \
             f'tol={tol}: nfe {int(sol_j.nfe)} vs scipy {sol_s.nfev}'
+
+
+def test_bdf2_second_order_on_nonuniform_grid(z0):
+    """BDF2 must keep its 2nd-order rate when `ts` spacing varies across
+    intervals: the stencil carries the previous step size and uses the
+    variable-step-ratio coefficients (round-3 review finding - the
+    constant 4/3,1/3,2/3 stencil silently drops to 1st order here).
+    Refining the same non-uniform grid 2x must cut the error ~4x."""
+    base = np.array([0.0, 0.07, 0.21, 0.45, 0.8, 1.0, 1.3, 1.5])
+
+    def with_midpoints(g, times):
+        for _ in range(times):
+            mids = (g[:-1] + g[1:]) / 2
+            g = np.sort(np.concatenate([g, mids]))
+        return jnp.asarray(g, jnp.float32)
+
+    errs = []
+    for refine in (1, 2):
+        ts = with_midpoints(base, refine)
+        sol = odeint(exp_rhs, z0, ts, method='bdf', dense=1)
+        err = np.abs(np.asarray(sol.zs[-1])
+                     - exp_sol(np.asarray(z0), ts[-1:])[0]).max()
+        errs.append(err)
+    rate = np.log2(errs[0] / errs[1])
+    assert rate > 1.6, f'BDF2 convergence rate {rate:.2f} on non-uniform ts'

@@ -18,13 +18,15 @@ reversed time):
 
 with a += cotangent(z_i) injected at each saved output time.
 
-Two backward integrators:
+Three backward integrators:
   * euler/midpoint/rk4: hand-rolled fixed-step over the augmented pytree
     (cheapest; same solver as the forward pass, torchdiffeq semantics).
-  * everything else (dopri5, adams family, bdf): the augmented state is
-    ravelled to one flat vector and integrated per interval with the SAME
-    solver via dynamics.solvers.odeint - adaptive dopri5 backward solves
-    included.
+  * bdf: semi-implicit BDF2 exploiting the augmented structure - implicit
+    batched Newton on z only, a per-sample (D, D) LINEAR solve for a
+    (whose dynamics are linear given z), trapezoidal quadrature for gth.
+  * everything else (dopri5, adams family): explicit/adaptive, so the
+    augmented state is ravelled to one flat vector and integrated per
+    interval with the SAME solver via dynamics.solvers.odeint.
 
 Gradients w.r.t. ts are not produced (returned as zeros) - time grids in
 this framework are dt * arange(T).
@@ -120,12 +122,76 @@ def _adj_bwd(f, method, dense, rtol, atol, max_steps, res, bars):
                 return _step_tree(method, rhs_s, s, aug_, h)
 
             return jax.lax.fori_loop(0, dense, substep, aug)
+    elif method == 'bdf':
+        def solve_interval(aug, t0, t1):
+            """Semi-implicit BDF2 backward, exploiting the augmented
+            system's structure instead of ravelling it (a Newton over the
+            full (z, a, gth) flat vector would build a dense (P, P)
+            Jacobian over ALL parameters - round-3 review finding):
+
+              * z: implicit BDF2/BE with the same per-sample (D, D)
+                batched Newton as the forward solver;
+              * a: its dynamics da/ds = J(s)^T a are LINEAR given z, so
+                the implicit step is one per-sample (D, D) linear solve
+                (I - c h J^T) a_new = rhs - no Newton at all;
+              * gth: pure quadrature (no feedback), trapezoidal rule on
+                the vjp evaluated at the solved endpoints.
+
+            History resets per output interval (BE bootstrap), mirroring
+            the forward driver's order at interval starts."""
+            from vae_gp_ode_tpu.dynamics.solvers import _newton_solve
+            z0_, a0_, gth0_ = aug
+            h = (t1 - t0) / dense
+            eye = jnp.eye(z0_.shape[-1], dtype=z0_.dtype)
+
+            def fwd_f(t, zz):
+                return f(theta, t, zz)
+
+            def q_theta(t, zz, aa):
+                _, vjp_fn = jax.vjp(lambda th: f(th, t, zz), theta)
+                return vjp_fn(aa)[0]
+
+            def substep(i, c):
+                z, a, gth, z_prev, a_prev, hp = c
+                s1 = (i + 1.0) * h
+                t_old, t_new = t1 - i * h, t1 - s1
+                c_f = jnp.where(hp, 2.0 / 3.0, 1.0)
+
+                def g(zn):
+                    fn_ = -fwd_f(t_new, zn)          # dz/ds = -f
+                    r2 = (zn - (4.0 / 3.0) * z + (1.0 / 3.0) * z_prev
+                          - (2.0 / 3.0) * h * fn_)
+                    rbe = zn - z - h * fn_
+                    return jnp.where(hp, r2, rbe)
+
+                z_new = _newton_solve(g, z - h * fwd_f(t_old, z))
+
+                # linear implicit step for a: (I - c_f h J^T) a_new = rhs
+                J = jax.vmap(jax.jacrev(
+                    lambda zi: fwd_f(t_new, zi[None])[0]))(z_new)
+                M = eye[None] - c_f * h * jnp.swapaxes(J, -1, -2)
+                rhs_a = jnp.where(hp, (4.0 / 3.0) * a
+                                  - (1.0 / 3.0) * a_prev, a)
+                a_new = jnp.linalg.solve(M, rhs_a[..., None])[..., 0]
+
+                # trapezoidal quadrature for the parameter cotangent
+                q0 = q_theta(t_old, z, a)
+                q1 = q_theta(t_new, z_new, a_new)
+                gth_new = jax.tree.map(
+                    lambda g_, q0_, q1_: g_ + 0.5 * h * (q0_ + q1_),
+                    gth, q0, q1)
+                return (z_new, a_new, gth_new, z, a, jnp.asarray(True))
+
+            z_f, a_f, gth_f, _, _, _ = jax.lax.fori_loop(
+                0, dense, substep,
+                (z0_, a0_, gth0_, z0_, a0_, jnp.asarray(False)))
+            return z_f, a_f, gth_f
     else:
         def solve_interval(aug, t0, t1):
             """Backward integration with the forward solver itself on the
-            ravelled augmented state (adaptive for dopri5). The flat state
-            is carried as (1, size): bdf's batched Newton treats the
-            leading axis as samples."""
+            ravelled augmented state, carried as (1, size) - explicit
+            methods only (dopri5 adaptive backward included); bdf has its
+            structured branch above."""
             flat, unravel = ravel_pytree(aug)
 
             def rhs_flat(s_, y):

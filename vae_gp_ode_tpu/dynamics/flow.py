@@ -44,18 +44,15 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
     single fused Pallas kernel (ops.flow_fused); other solver/kernel
     combinations use the lax.scan solvers.
     """
-    if (solver == 'euler' and dense == 1 and gp.kernel_name != 'DF'
+    if (solver == 'euler' and dense == 1 and gp.kernel_name == 'RBF'
             and gp.kernel.dimwise and ts.shape[0] >= 2):
         from vae_gp_ode_tpu.ops import config as ops_config
         if ops_config.use_pallas() and ops_config.fuse_flow():
             from vae_gp_ode_tpu.ops.flow_fused import fused_euler_flow
-            from vae_gp_ode_tpu.kernels.rbf import (
-                rbf_lengthscales, rbf_variance)
+            from vae_gp_ode_tpu.ops.pathwise import rbf_fused_operands
             T = ts.shape[0]
             zs = fused_euler_flow(
-                z0, sample.rff.omega, sample.rff.phase, sample.rff.weights,
-                gp.inducing_loc, sample.nu[..., 0],
-                rbf_lengthscales(gp.kernel), rbf_variance(gp.kernel),
+                z0, *rbf_fused_operands(gp, sample),
                 jnp.diff(ts), T, order,
                 interpret=ops_config.interpret_mode())
             return jnp.transpose(zs, (1, 0, 2)), jnp.asarray(T - 1)
@@ -65,18 +62,11 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
         from vae_gp_ode_tpu.ops import config as ops_config
         if ops_config.use_pallas() and ops_config.fuse_flow():
             from vae_gp_ode_tpu.ops.df_flow_fused import packed_df_euler_flow
-            from vae_gp_ode_tpu.kernels.rbf import (
-                rbf_lengthscales, rbf_variance)
+            from vae_gp_ode_tpu.ops.df_pathwise import df_fused_operands
             T = ts.shape[0]
-            D = z0.shape[1]
-            S = sample.rff.omega.shape[1]
-            ls = rbf_lengthscales(gp.kernel)
             zs = packed_df_euler_flow(
-                z0, sample.rff.omega.reshape(D, S * D),
-                sample.rff.phase.reshape(1, S * D), sample.df_G,
-                gp.inducing_loc, sample.nu.reshape(-1, D), ls * ls,
-                rbf_variance(gp.kernel), jnp.diff(ts), T,
-                ops_config.interpret_mode())
+                z0, *df_fused_operands(gp, sample, z0.shape[1]),
+                jnp.diff(ts), T, ops_config.interpret_mode())
             return jnp.transpose(zs, (1, 0, 2)), jnp.asarray(T - 1)
     rhs = make_ode_rhs(gp, sample, order)
     sol = odeint(rhs, z0, ts, method=solver, dense=dense, rtol=rtol,

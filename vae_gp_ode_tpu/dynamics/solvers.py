@@ -48,13 +48,13 @@ class ODESolution(NamedTuple):
 # ---------------------------------------------------------------------------
 
 def _euler_step(f, t, z, dt):
-    return z + dt * f(t, z), 1
+    return z + dt * f(t, z)
 
 
 def _midpoint_step(f, t, z, dt):
     k1 = f(t, z)
     k2 = f(t + 0.5 * dt, z + 0.5 * dt * k1)
-    return z + dt * k2, 2
+    return z + dt * k2
 
 
 def _rk4_step(f, t, z, dt):
@@ -62,11 +62,12 @@ def _rk4_step(f, t, z, dt):
     k2 = f(t + 0.5 * dt, z + 0.5 * dt * k1)
     k3 = f(t + 0.5 * dt, z + 0.5 * dt * k2)
     k4 = f(t + dt, z + dt * k3)
-    return z + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4), 4
+    return z + (dt / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
 
 
-_ONESTEP = {'euler': _euler_step, 'midpoint': _midpoint_step,
-            'rk4': _rk4_step}
+# (step_fn, rhs evals per step) - the single source for nfe accounting
+_ONESTEP = {'euler': (_euler_step, 1), 'midpoint': (_midpoint_step, 2),
+            'rk4': (_rk4_step, 4)}
 
 
 def _newton_solve(g, z_init, iters=6):
@@ -109,16 +110,14 @@ def _newton_solve(g, z_init, iters=6):
 # ---------------------------------------------------------------------------
 
 def _fixed_singlestep(f, z0, ts, method, dense, remat):
-    step_fn = _ONESTEP[method]
-    evals_per_step = {'euler': 1, 'midpoint': 2, 'rk4': 4}[method]
+    step_fn, evals_per_step = _ONESTEP[method]
 
     def interval(z, t_pair):
         t0, t1 = t_pair
         h = (t1 - t0) / dense
 
         def substep(i, zt):
-            z_next, _ = step_fn(f, t0 + i * h, zt, h)
-            return z_next
+            return step_fn(f, t0 + i * h, zt, h)
 
         z1 = jax.lax.fori_loop(0, dense, substep, z)
         return z1, z1
@@ -205,38 +204,49 @@ def _fixed_adams_family(f, z0, ts, method, dense, remat):
 def _fixed_bdf2(f, z0, ts, dense, remat, newton_iters=6):
     """Fixed-step BDF2 with batched Newton; first substep is backward Euler.
 
-    z_{n+1} - (4/3) z_n + (1/3) z_{n-1} = (2/3) h f(t_{n+1}, z_{n+1})
-    """
+    Variable-step-ratio coefficients (w = h / h_prev, the spacing of the
+    z_prev history point, which differs from h across interval boundaries
+    when `ts` is non-uniform):
+
+        z_{n+1} = ((1+w)^2 z_n - w^2 z_{n-1}) / (1 + 2w)
+                  + h (1+w)/(1+2w) f(t_{n+1}, z_{n+1})
+
+    which reduces to the constant-coefficient 4/3, 1/3, 2/3 stencil at
+    w = 1. Without the w terms the method silently drops to first order
+    on non-uniform grids (round-3 review finding)."""
 
     def interval(carry, t_pair):
-        z, z_prev, have_prev = carry
+        z, z_prev, have_prev, h_prev = carry
         t0, t1 = t_pair
         h = (t1 - t0) / dense
 
         def substep(i, c):
-            zt, zp, hp = c
+            zt, zp, hp, hpv = c
             t1s = t0 + (i + 1) * h
+            w = h / jnp.where(hp, hpv, h)      # 1.0 on the first substep
+            c_zt = (1.0 + w) ** 2 / (1.0 + 2.0 * w)
+            c_zp = w * w / (1.0 + 2.0 * w)
+            c_f = (1.0 + w) / (1.0 + 2.0 * w)
 
             def g(zn):
                 f_n = f(t1s, zn)
-                r_bdf2 = zn - (4.0 / 3.0) * zt + (1.0 / 3.0) * zp \
-                    - (2.0 / 3.0) * h * f_n
+                r_bdf2 = zn - c_zt * zt + c_zp * zp - c_f * h * f_n
                 r_be = zn - zt - h * f_n
                 return jnp.where(hp, r_bdf2, r_be)
 
             z_new = _newton_solve(g, zt + h * f(t0 + i * h, zt),
                                   iters=newton_iters)
-            return z_new, zt, jnp.asarray(True)
+            return z_new, zt, jnp.asarray(True), h
 
-        z1, zp, hp = jax.lax.fori_loop(0, dense, substep,
-                                       (z, z_prev, have_prev))
-        return (z1, zp, hp), z1
+        z1, zp, hp, hpv = jax.lax.fori_loop(
+            0, dense, substep, (z, z_prev, have_prev, h_prev))
+        return (z1, zp, hp, hpv), z1
 
     if remat:
         interval = jax.checkpoint(interval)
 
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=1)
-    init = (z0, z0, jnp.asarray(False))
+    init = (z0, z0, jnp.asarray(False), jnp.asarray(0.0, z0.dtype))
     _, zs = jax.lax.scan(interval, init, t_pairs)
     zs = jnp.concatenate([z0[None], zs], axis=0)
     # per substep: 1 predictor eval + newton_iters * (residual + Jacobian
@@ -328,6 +338,13 @@ def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
     t0, t_end = ts[0], ts[-1]
     dtype = z0.dtype
 
+    # scale-aware dt floor (same construction as _vcabm's t_floor): an
+    # absolute constant would override the controller's shrink on solves
+    # whose time span is itself tiny and spin at the floor without
+    # advancing
+    dt_floor = 8.0 * jnp.finfo(dtype).eps * jnp.maximum(
+        jnp.max(jnp.abs(ts)), 1.0)
+
     f0 = f(t0, z0)
     dt0 = jnp.minimum(_hairer_initial_step(f, t0, z0, f0, rtol, atol),
                       jnp.abs(t_end - t0))
@@ -385,7 +402,7 @@ def _dopri5(f, z0, ts, rtol, atol, max_steps, remat):
             lambda a, b: jnp.where(accept & active, b, a), ks[0], k_end)
         dt_next = jnp.where(active, jnp.minimum(dt_new, t_end - t_next
                                                 + 1e-30), dt)
-        dt_next = jax.lax.stop_gradient(jnp.maximum(dt_next, 1e-8))
+        dt_next = jax.lax.stop_gradient(jnp.maximum(dt_next, dt_floor))
         done_next = done | (t_next >= t_end - 1e-12)
         nfe = nfe + jnp.where(active, 6, 0)   # FSAL: 6 new evals per try
         return (t_next, z_next, k1_next, dt_next, facold_next, zs, filled,

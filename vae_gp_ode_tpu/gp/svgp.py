@@ -178,28 +178,21 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
     if p.kernel_name == 'DF':
         from vae_gp_ode_tpu.ops import config as ops_config
         if ops_config.use_pallas() and s.df_G is not None:
-            from vae_gp_ode_tpu.ops.df_pathwise import fused_df_pathwise_eval
-            D = x.shape[1]
-            S = s.rff.omega.shape[1]
-            ls = rbfk.rbf_lengthscales(p.kernel)
+            from vae_gp_ode_tpu.ops.df_pathwise import (
+                df_fused_operands, fused_df_pathwise_eval)
             return fused_df_pathwise_eval(
-                x, s.rff.omega.reshape(D, S * D),
-                s.rff.phase.reshape(1, S * D), s.df_G,
-                p.inducing_loc, s.nu.reshape(-1, D), ls * ls,
-                rbfk.rbf_variance(p.kernel),
+                x, *df_fused_operands(p, s, x.shape[1]),
                 ops_config.interpret_mode())
         f_prior = dfk.df_rff_eval(p.kernel, s.rff, x, G=s.df_G)
         f_up = dfk.df_f_update(p.kernel, s.nu, x, p.inducing_loc)
         return f_prior + f_up
     if p.kernel.dimwise:
         from vae_gp_ode_tpu.ops import config as ops_config
-        from vae_gp_ode_tpu.ops.pathwise import fused_pathwise_eval
+        from vae_gp_ode_tpu.ops.pathwise import (
+            fused_pathwise_eval, rbf_fused_operands)
         if ops_config.use_pallas():
             return fused_pathwise_eval(
-                x, s.rff.omega, s.rff.phase, s.rff.weights,
-                p.inducing_loc, s.nu[..., 0],
-                rbfk.rbf_lengthscales(p.kernel),
-                rbfk.rbf_variance(p.kernel),
+                x, *rbf_fused_operands(p, s),
                 ops_config.interpret_mode())
     f_prior = rbfk.rbf_rff_eval(p.kernel, s.rff, x)
     f_up = rbfk.rbf_f_update(p.kernel, s.nu, x, p.inducing_loc)

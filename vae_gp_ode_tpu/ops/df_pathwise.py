@@ -332,3 +332,17 @@ def _bwd(interpret, res, g):
 
 
 fused_df_pathwise_eval.defvjp(_fwd, _bwd)
+
+
+def df_fused_operands(gp, sample, D):
+    """The fused-DF-kernel operand block shared by the per-step eval
+    (gp.svgp.fn_eval) and the whole-trajectory flow (dynamics.flow):
+    (omf, phf, G, Z, nur, ls^2, variance) with the (S, D) ORFF axes
+    flattened to the kernels' packed (D, S*D)/(1, S*D) layout."""
+    from vae_gp_ode_tpu.kernels.rbf import rbf_lengthscales, rbf_variance
+    S = sample.rff.omega.shape[1]
+    ls = rbf_lengthscales(gp.kernel)
+    return (sample.rff.omega.reshape(D, S * D),
+            sample.rff.phase.reshape(1, S * D), sample.df_G,
+            gp.inducing_loc, sample.nu.reshape(-1, D), ls * ls,
+            rbf_variance(gp.kernel))

@@ -255,3 +255,14 @@ def _bwd(interpret, res, g):
 
 
 fused_pathwise_eval.defvjp(_fwd, _bwd)
+
+
+def rbf_fused_operands(gp, sample):
+    """The fused-RBF-kernel operand block shared by the per-step eval
+    (gp.svgp.fn_eval) and the whole-trajectory flow (dynamics.flow):
+    (omega, phase, weights, Z, nur, lengthscales, variance). One source
+    of truth for the packing - a layout change edits only this."""
+    from vae_gp_ode_tpu.kernels.rbf import rbf_lengthscales, rbf_variance
+    return (sample.rff.omega, sample.rff.phase, sample.rff.weights,
+            gp.inducing_loc, sample.nu[..., 0],
+            rbf_lengthscales(gp.kernel), rbf_variance(gp.kernel))

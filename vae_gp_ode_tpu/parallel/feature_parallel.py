@@ -17,7 +17,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax import shard_map
+
+from vae_gp_ode_tpu.parallel.mesh import shard_map
 
 from vae_gp_ode_tpu.gp.svgp import (SVGPParams, FnSample, draw_fn_sample,
                                     sample_inducing)
@@ -150,7 +151,8 @@ def fp_fn_eval(gp: SVGPParams, sample: FnSample, x, mesh, axis='model'):
 
 
 def fp_flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, mesh,
-                    order=1, solver='euler', dense=1, axis='model'):
+                    order=1, solver='euler', dense=1, axis='model',
+                    rtol=1e-6, atol=1e-6, max_steps=256):
     """Latent-trajectory integration with feature-parallel GP evaluation:
     every solver step's f(x) shards the S Fourier features over the mesh
     axis (one psum per step over ICI).
@@ -161,8 +163,11 @@ def fp_flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, mesh,
     inference/rollouts or as the inner solve of a large-S config; training
     at reference sizes uses data parallelism (data_parallel.py).
 
-    Same signature semantics as dynamics.flow.flow_forward: returns
-    (zt (N, T, D), nfe)."""
+    Same signature semantics as dynamics.flow.flow_forward — rtol/atol/
+    max_steps reach the adaptive solvers — except remat, which is pinned
+    False (recomputing the shard_map'd psum inside the backward pass
+    re-issues collectives; storing residuals is the right trade here).
+    Returns (zt (N, T, D), nfe)."""
     from vae_gp_ode_tpu.dynamics.solvers import odeint
 
     def rhs(t, z):
@@ -172,5 +177,6 @@ def fp_flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, mesh,
                 [z[:, q:], fp_fn_eval(gp, sample, z, mesh, axis)], axis=1)
         return fp_fn_eval(gp, sample, z, mesh, axis)
 
-    sol = odeint(rhs, z0, ts, method=solver, dense=dense, remat=False)
+    sol = odeint(rhs, z0, ts, method=solver, dense=dense, rtol=rtol,
+                 atol=atol, max_steps=max_steps, remat=False)
     return jnp.transpose(sol.zs, (1, 0, 2)), sol.nfe

@@ -32,24 +32,8 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax.sharding import PartitionSpec as P
-try:
-    from jax import shard_map as _shard_map
-except ImportError:  # older jax
-    from jax.experimental.shard_map import shard_map as _shard_map
 
-# jax >= 0.8 renamed check_rep (replication tracking) to check_vma; the
-# custom_vjp boundary of the Pallas kernels defeats the tracking either
-# way, so it is disabled under whichever name this jax spells it
-import inspect as _inspect
-_CHECK_KW = ('check_vma' if 'check_vma'
-             in _inspect.signature(_shard_map).parameters else 'check_rep')
-
-
-def shard_map(f, **kw):
-    if 'check_rep' in kw:
-        kw[_CHECK_KW] = kw.pop('check_rep')
-    return _shard_map(f, **kw)
-
+from vae_gp_ode_tpu.parallel.mesh import shard_map
 from vae_gp_ode_tpu.training.objectives import compute_loss
 from vae_gp_ode_tpu.training.trainer import _make_epoch_fn
 
