@@ -151,3 +151,34 @@ def test_conditional_mean_matches_mc(params):
     # init scale is 1e-3 and Um ~ 0.1: conditional mean is small; MC noise
     # is dominated by the prior (variance ~ var/2); use a loose tolerance
     np.testing.assert_allclose(mc_mean, np.asarray(mean), atol=0.05)
+
+
+def test_conditional_q_diag_matches_full_chol():
+    """A q_diag posterior and the equivalent full-Cholesky posterior
+    (Us_sqrt = diag embedding of the same scales) must give the SAME
+    conditional mean and variance - the round-3 review found the q_diag
+    branch built S as the rank-1 outer product s s^T instead of
+    diag(s^2), inflating/deflating variances for M > 1."""
+    key = jax.random.PRNGKey(3)
+    pd = svgp.init_svgp_params(key, D_in=3, D_out=3, M=8, kernel='RBF',
+                               dimwise=True, q_diag=True)
+    # give the diagonal scales a non-trivial spread
+    new_us = jax.random.normal(jax.random.PRNGKey(4), pd.Us_sqrt.shape)
+    pd = pd.replace(Us_sqrt=new_us)
+
+    # equivalent full-Cholesky parameterisation: L = diag(softplus(us))
+    s = softplus(new_us.T)                                 # (D, M)
+    L_stack = jax.vmap(jnp.diag)(s)                        # (D, M, M)
+    packed = jnp.stack([pack_tril(L) for L in L_stack]).T
+    pf = svgp.init_svgp_params(key, D_in=3, D_out=3, M=8, kernel='RBF',
+                               dimwise=True, q_diag=False)
+    pf = pf.replace(Um=pd.Um, Us_sqrt=packed.T,
+                    inducing_loc=pd.inducing_loc, kernel=pd.kernel)
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (6, 3))
+    md, vd = svgp.svgp_conditional(pd, x)
+    mf, vf = svgp.svgp_conditional(pf, x)
+    np.testing.assert_allclose(np.asarray(md), np.asarray(mf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vf),
+                               rtol=1e-5, atol=1e-6)
+    assert (np.asarray(vd) > 0).all()

@@ -241,10 +241,14 @@ def svgp_conditional(p: SVGPParams, x, full_cov=False):
         A = jax.scipy.linalg.solve_triangular(Lu, Kuf, lower=True)  # (M, N)
 
     if p.q_diag:
-        Ls = softplus(p.Us_sqrt).T[:, :, None]            # (D, M, 1)
+        # diagonal q(u): S = diag(s^2), NOT the rank-1 outer product s s^T
+        # (round-3 review finding - the outer product gave wrong, possibly
+        # negative, posterior variances for M > 1)
+        s = softplus(p.Us_sqrt).T                         # (D, M)
+        SK = jax.vmap(jnp.diag)(s * s) - eye[None]        # (D, M, M)
     else:
         Ls = _scale_tril(p)                               # (D, M, M)
-    SK = Ls @ jnp.transpose(Ls, (0, 2, 1)) - eye[None]    # (D, M, M)
+        SK = Ls @ jnp.transpose(Ls, (0, 2, 1)) - eye[None]  # (D, M, M)
     B = jnp.einsum('dme,den->dmn' if dimwise else 'dmi,in->dmn', SK, A)
 
     A_b = A if dimwise else A[None]                        # (D, M, N)
@@ -255,11 +259,12 @@ def svgp_conditional(p: SVGPParams, x, full_cov=False):
         var = Kff + delta                                  # (D, N, N)
     else:
         delta = jnp.sum(A_b * B, axis=1)                   # (D, N)
-        Kff_full = rbfk.rbf_gram(p.kernel, x)
-        if dimwise:
-            Kff = jnp.diagonal(Kff_full, axis1=1, axis2=2)  # (D, N)
-        else:
-            Kff = jnp.diagonal(Kff_full)[None]              # (1, N)
+        # k(x, x) for the SE kernel is just the variance - no need to
+        # build the (D, N, N) gram to read its diagonal
+        N = x.shape[0]
+        var_k = jnp.atleast_1d(rbfk.rbf_variance(p.kernel))
+        Kff = jnp.broadcast_to(var_k[:, None],
+                               (var_k.shape[0], N))        # (D or 1, N)
         var = (Kff + delta).T                               # (N, D)
 
     mean = jnp.einsum('dmn,md->nd' if dimwise else 'mn,md->nd', A, p.Um)

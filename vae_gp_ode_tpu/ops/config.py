@@ -1,8 +1,9 @@
 """Runtime switches for the Pallas fast paths.
 
 The jnp reference implementations are always available and are the source
-of truth for parity tests and for reverse-mode gradients; the Pallas
-kernels are forward fast paths enabled on TPU backends.
+of truth for parity tests; the Pallas kernels run BOTH directions (fused
+forward + hand-written backward/discrete-adjoint kernels) on TPU backends,
+with the jnp graph as the large-batch fallback.
 """
 
 import contextlib

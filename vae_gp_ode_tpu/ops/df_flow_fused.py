@@ -174,6 +174,14 @@ def _make_bwd_kernel(T, D, SD, slab=False):
 
 def _pallas_df_flow(z0, omf, phf, G, Zt, nurT, ls2, var_row, dts, T,
                     interpret=False):
+    # NOTE: the grid-tiling scheme here (single-block vs tiled dispatch,
+    # row padding, rep/tile index maps, per-tile cotangent slabs summed
+    # after the call) deliberately MIRRORS ops.flow_fused._pallas_flow_*.
+    # Keep the two in sync when changing the scheme; only the operand
+    # lists and the (intentionally different, in-step-measured) thresholds
+    # differ. Not factored into one helper: the scheme is compile-budget
+    # sensitive on the v5e and each change must be re-probed on hardware
+    # (tools/probe_fused_batch.py).
     N, D = z0.shape
     SD = omf.shape[1]
     if N <= _SINGLE_BLOCK_N:

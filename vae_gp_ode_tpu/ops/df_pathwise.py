@@ -310,14 +310,18 @@ def fused_df_pathwise_eval(x, omf, phf, G, Z, nur, ls2, var,
     production S (the RBF kernel tiles its grid instead; the train/solve
     paths here are N<=batch so the single block is the fast case)."""
     if x.shape[0] > 512:
-        return df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
+        # match the Pallas kernel's forced-f32 matmuls (default TPU
+        # precision is bf16-input, ~4e-2 drift)
+        with jax.default_matmul_precision('highest'):
+            return df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
     return _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
                            interpret=interpret)
 
 
 def _fwd(x, omf, phf, G, Z, nur, ls2, var, interpret):
     if x.shape[0] > 512:
-        out = df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
+        with jax.default_matmul_precision('highest'):
+            out = df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
     else:
         out = _pallas_forward(x, omf, phf, G, Z, nur, ls2, var,
                               interpret=interpret)
@@ -326,8 +330,9 @@ def _fwd(x, omf, phf, G, Z, nur, ls2, var, interpret):
 
 def _bwd(interpret, res, g):
     if res[0].shape[0] > 512:
-        _, vjp = jax.vjp(df_pathwise_reference, *res)
-        return vjp(g)
+        with jax.default_matmul_precision('highest'):
+            _, vjp = jax.vjp(df_pathwise_reference, *res)
+            return vjp(g)
     return _pallas_backward(*res, g, interpret=interpret)
 
 

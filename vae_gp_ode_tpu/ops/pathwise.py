@@ -8,10 +8,11 @@ scaling, feature contraction, scaled cross-distances, exponential, and the
 inducing contraction - into one VMEM-resident kernel, eliminating all HBM
 round-trips between the ~10 XLA ops it replaces.
 
-Reverse mode uses a custom VJP whose backward recomputes through the jnp
-reference implementation (identical math; the forward outputs match to
-float32 roundoff, and the cotangents only flow through the reference
-graph). The reference implementation is also the parity oracle on CPU.
+Reverse mode uses a custom VJP with a HAND-WRITTEN Pallas backward kernel
+(_pathwise_bwd_kernel: the whole cotangent computation in one VMEM-resident
+program, forced-f32 like the forward); batches past the single-block VMEM
+limit fall back to differentiating the jnp reference at HIGHEST matmul
+precision. The reference implementation is also the parity oracle on CPU.
 """
 
 import functools
@@ -247,10 +248,13 @@ def _fwd(x, omega, phase, weights, Z, nu, ls, var, interpret):
 
 def _bwd(interpret, res, g):
     # large N falls back to the reference-graph VJP (the backward kernel
-    # is single-block; training N is 20-ish)
+    # is single-block; training N is 20-ish). Forced f32 matmuls: the
+    # Pallas forward ran at Precision.HIGHEST, and a default-precision
+    # (bf16-input on TPU) backward would drift ~4e-2 against it
     if res[0].shape[0] > 512:
-        _, vjp = jax.vjp(pathwise_eval_reference, *res)
-        return vjp(g)
+        with jax.default_matmul_precision('highest'):
+            _, vjp = jax.vjp(pathwise_eval_reference, *res)
+            return vjp(g)
     return _pallas_backward(*res, g, interpret=interpret)
 
 
