@@ -316,3 +316,34 @@ def test_run_epoch_with_tail_none_tail_is_identity(setup):
     np.testing.assert_allclose(np.asarray(m_t['loss']),
                                np.asarray(m_p['loss']), rtol=1e-6)
     assert int(s_t.step) == int(s_p.step) == 2
+
+
+def test_frozen_vae_order2_velocity_encoder_stays_train_mode():
+    """The reference's pretrained path eval()s encoder and decoder but NOT
+    encoder_v (main.py:163-164), so a frozen order-2 run keeps the
+    velocity encoder's BatchNorm in train mode: its running stats UPDATE
+    while encoder/decoder stats and ALL VAE params stay frozen (round-3
+    review parity finding)."""
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(50), latent_dim=3, n_filt=4, order=2,
+        frames=3, num_features=16, num_inducing=8, batch=N, T=T)
+    state, tx = create_train_state(model, variables, gp, freeze_vae=True)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True, freeze_vae=True)
+    X = make_batch(jax.random.PRNGKey(51))
+    state2, _ = step(state, X, jax.random.PRNGKey(52), 1)
+    for b, a in zip(jax.tree_util.tree_leaves(state.vae_params),
+                    jax.tree_util.tree_leaves(state2.vae_params)):
+        np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    bs0, bs1 = state.batch_stats, state2.batch_stats
+    assert jax.tree_util.tree_structure(bs0) == \
+        jax.tree_util.tree_structure(bs1)
+    for name in ('encoder', 'decoder'):
+        for b, a in zip(jax.tree_util.tree_leaves(bs0[name]),
+                        jax.tree_util.tree_leaves(bs1[name])):
+            np.testing.assert_array_equal(np.asarray(b), np.asarray(a))
+    moved = any(
+        not np.allclose(np.asarray(b), np.asarray(a))
+        for b, a in zip(jax.tree_util.tree_leaves(bs0['encoder_v']),
+                        jax.tree_util.tree_leaves(bs1['encoder_v'])))
+    assert moved, 'encoder_v running stats must update (train-mode BN)'

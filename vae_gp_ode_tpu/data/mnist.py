@@ -96,17 +96,20 @@ class Loader:
         path (static shapes); the tail - the same sequences the reference
         DataLoader would yield as its final short batch (drop_last=False)
         - is trained with one extra per-step dispatch, so the scanned
-        regime sees every sequence exactly once per epoch."""
-        import jax.numpy as _jnp
+        regime sees every sequence exactly once per epoch.
+
+        Sequences only: labels (when this Loader carries them) are not
+        returned - the scanned epoch paths are unlabeled; use __iter__
+        for (x, label) batches."""
         n = self.X.shape[0]
         I = n // self.batch_size
         idx = (self._rng.permutation(n) if self.shuffle
                else np.arange(n))
-        head = _jnp.asarray(idx[:I * self.batch_size])
+        head = jnp.asarray(idx[:I * self.batch_size])
         stacked = self.X[head].reshape(
             (I, self.batch_size) + self.X.shape[1:])
         tail_idx = idx[I * self.batch_size:]
-        tail = self.X[_jnp.asarray(tail_idx)] if len(tail_idx) else None
+        tail = self.X[jnp.asarray(tail_idx)] if len(tail_idx) else None
         return stacked, tail
 
 
@@ -130,6 +133,18 @@ def rot_start(X, T, seed=None):
     return out
 
 
+def _read_mat(matpath, digit=None):
+    """Load rot-mnist.mat -> float32 X, optionally filtered to `digit`
+    (the one .mat read shared by the sequence and frame loaders)."""
+    import scipy.io as sio
+    d = sio.loadmat(matpath)
+    X = np.squeeze(d['X'])
+    if digit is not None:
+        Y = np.squeeze(d['Y'])
+        X = X[Y == digit]
+    return X.astype(np.float32)
+
+
 def _load_raw_sequences(data_root, Ntotal, T, digit=3, seed=0,
                         n_glyphs=0):
     """Raw (N, T, 784) in [0, 1]: .mat file if present, else synthetic.
@@ -139,12 +154,7 @@ def _load_raw_sequences(data_root, Ntotal, T, digit=3, seed=0,
     synthetic.make_rotating_sequences)."""
     matpath = os.path.join(data_root, 'rot_mnist', 'rot-mnist.mat')
     if os.path.exists(matpath):
-        import scipy.io as sio
-        d = sio.loadmat(matpath)
-        X = np.squeeze(d['X'])
-        Y = np.squeeze(d['Y'])
-        X = X[Y == digit].astype(np.float32)
-        return X, 'mat'
+        return _read_mat(matpath, digit), 'mat'
     X = synthetic.make_rotating_sequences(Ntotal, T=T, seed=seed,
                                           n_glyphs=n_glyphs)
     return X, 'synthetic'
@@ -163,6 +173,18 @@ def load_mnist_data(data_root='data/', batch_size=20, T=16, Ndata=360,
     Ntotal = Ndata + Nvalid + Ntest
     X, source = _load_raw_sequences(data_root, Ntotal, T, digit, seed,
                                     n_glyphs=n_glyphs)
+    if source == 'mat' and X.shape[1] != T * 28 * 28 \
+            and X.shape[1] != T:
+        # the reference's X.view([N, T, 1, 28, 28]) ERRORS when the .mat
+        # sequence length differs from --T; a silent reshape here would
+        # re-chunk 16-frame sequences into T-frame pieces, leaking halves
+        # of one raw sequence across the train/test split
+        raw_T = (X.shape[1] if X.ndim == 3
+                 else X.shape[1] // (28 * 28))
+        raise ValueError(
+            f'rot-mnist.mat sequences have T={raw_T} frames but --T={T} '
+            f'was requested; the reference errors here too (mnist.py:34 '
+            f'.view) - use --T {raw_T} with the .mat dataset')
     X = X[:Ntotal].reshape(-1, T, 1, 28, 28).astype(np.float32)
     if rotrand:
         X = rot_start(X, T, seed=seed)
@@ -209,13 +231,10 @@ def load_mat_mnist_data(args, plot=False):
 
     Returns (trainset, testset) Loaders yielding (frames, labels).
     """
-    import scipy.io as sio
     fullname = os.path.join(args.data_root, 'rot_mnist', 'rot-mnist.mat')
-    d = sio.loadmat(fullname)
-    X = np.squeeze(d['X'])
-    if getattr(args, 'mask', True):
-        Y = np.squeeze(d['Y'])
-        X = X[Y == getattr(args, 'value', 3)]
+    X = _read_mat(fullname,
+                  getattr(args, 'value', 3) if getattr(args, 'mask', True)
+                  else None)
 
     N, Ntest, T = args.Ndata, args.Ntest, args.T
     seed = getattr(args, 'seed', 0)
@@ -237,13 +256,24 @@ def load_mat_mnist_data(args, plot=False):
     return trainset, testset
 
 
-def create_rotating_dataset(save_dir, digit=3, train_n=100, test_n=10,
+def create_rotating_dataset(save_dir=None, digit=3, train_n=100, test_n=10,
                             n_angles=64, seed=0):
     """Flat rotating frames for VAE pretraining (reference
     mnist.py:162-193). Returns (train (train_n*n_angles or layout below),
     test) arrays shaped (N, n_angles, 1, 28, 28) in [0, 1].
 
-    Without torchvision/network the digits are synthetic glyphs."""
+    Without torchvision/network the digits are synthetic glyphs (the
+    generator draws one glyph class, so `digit` selections other than the
+    default cannot be honoured - warned, not silently ignored). The
+    caller saves the arrays (main_vae.py), matching the reference's
+    data_path usage; `save_dir` is accepted for signature parity only."""
+    if digit != 3:
+        import warnings
+        warnings.warn(
+            f'create_rotating_dataset: digit={digit} requested but the '
+            f'synthetic generator draws one glyph class (no MNIST file '
+            f'or torchvision in this environment) - returning glyphs',
+            stacklevel=2)
     train = synthetic.make_rotating_frames(train_n, n_angles, seed=seed)
     test = synthetic.make_rotating_frames(test_n, n_angles, seed=seed + 1)
     return train.astype(np.float32), test.astype(np.float32)

@@ -59,10 +59,17 @@ class ODEGPVAE(nn.Module):
                                      frames=self.frames,
                                      bn_axis=self.bn_axis)
 
-    def encode(self, X, key, train: bool = True, reparam_noise=None):
+    def encode(self, X, key, train: bool = True, reparam_noise=None,
+               train_v=None):
         """Encode a batch of sequences (N, T, 1, d, d) into z0 (N, q or 2q).
 
         reference odegpvae.py:55-62
+
+        `train_v` overrides the BatchNorm mode of the VELOCITY encoder
+        only (default: same as `train`). The reference's pretrained-VAE
+        path eval()s encoder and decoder but NOT encoder_v
+        (main.py:163-164), so frozen order-2 runs keep encoder_v in
+        train mode - the trainer passes train_v=True there.
 
         `reparam_noise` optionally injects the standard-normal draws
         (noise_s, noise_v) instead of drawing from `key` - the shard_map
@@ -86,7 +93,8 @@ class ODEGPVAE(nn.Module):
             # first `frames` frames stacked as channels (reference
             # odegpvae.py:60: squeeze(X[:, 0:v_steps]))
             xv = jnp.transpose(X[:, :self.frames, 0], (0, 2, 3, 1))
-            v0_mu, v0_logv = self.encoder_v(xv, train)
+            v0_mu, v0_logv = self.encoder_v(
+                xv, train if train_v is None else train_v)
             if noise_v is not None:
                 v0 = v0_mu + jnp.exp(0.5 * v0_logv) * noise_v
             else:
@@ -138,7 +146,7 @@ class ODEGPVAE(nn.Module):
 
     def __call__(self, X, gp: SVGPParams, key, L: int = 1,
                  T_custom: Optional[int] = None, train: bool = True,
-                 reparam_noise=None):
+                 reparam_noise=None, train_v=None):
         """Full forward pass (reference odegpvae.py:48-70).
 
         @param X: (N, T, 1, d, d) sequences (reference layout)
@@ -153,7 +161,8 @@ class ODEGPVAE(nn.Module):
         # key-split structure mirrored by parallel.shard_dp (see encode)
         k_enc, k_traj = jax.random.split(key)
         z0, s_stats, v_stats = self.encode(X, k_enc, train,
-                                           reparam_noise=reparam_noise)
+                                           reparam_noise=reparam_noise,
+                                           train_v=train_v)
         ztL, nfe = self.sample_trajectories(gp, z0, T, k_traj, L)
         Xrec = self.decode(ztL, train)
         return Xrec, s_stats, v_stats, nfe

@@ -133,9 +133,14 @@ class VAE(nn.Module):
     The coupled model composes Encoder/Decoder itself (models.odegpvae);
     this wrapper exists for the pretraining workflow and for the
     reference's `VAE.test` convenience: encode -> reparameterised sample
-    -> decode in eval mode (reference vae.py:37-45). `order=2` adds the
-    velocity encoder over `frames` stacked input frames like the
-    reference, so pretrained weights transplant 1:1 into ODEGPVAE.
+    -> decode in eval mode (reference vae.py:37-45). `order=2` declares
+    the velocity encoder over `frames` stacked input frames like the
+    reference ctor (vae.py:18-20) - but note flax init is lazy: its
+    params exist only if `encode_velocity` is traced at init
+    (init(..., method=VAE.encode_velocity) or a wrapper calling both).
+    Like the reference, pretraining never trains it and `save`
+    (checkpoint.save_vae_weights) excludes it - the trained velocity
+    encoder lives in ODEGPVAE.
     """
 
     latent_dim: int = 8
@@ -155,6 +160,14 @@ class VAE(nn.Module):
         mu, logvar = self.encoder(x, train)
         z = reparam_sample(key, mu, logvar)
         return self.decoder(z, train), mu, logvar
+
+    def encode_velocity(self, xv, train: bool = True):
+        """Velocity-encoder statistics over `frames` stacked channels
+        (NHWC (N, 28, 28, frames)); order=2 only. Trace this at init to
+        materialise encoder_v's params."""
+        if self.order != 2:
+            raise ValueError('encode_velocity requires order=2')
+        return self.encoder_v(xv, train)
 
     def test(self, x, key):
         """reference vae.py:37-45: eval-mode encode, one latent sample,

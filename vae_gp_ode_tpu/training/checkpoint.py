@@ -156,8 +156,14 @@ def restore_checkpoint_orbax(path, like, step=None):
     import orbax.checkpoint as ocp
     path = os.path.abspath(path)
     if step is None:
-        steps = [int(d.split('_')[1]) for d in os.listdir(path)
-                 if d.startswith('step_')]
+        # only exact step_<int> entries: an interrupted save leaves Orbax
+        # temp dirs like 'step_100.orbax-checkpoint-tmp-123' which must
+        # not crash (or win) the latest-step scan
+        steps = [int(d[5:]) for d in os.listdir(path)
+                 if d.startswith('step_') and d[5:].isdigit()]
+        if not steps:
+            raise FileNotFoundError(
+                f'no complete step_<n> checkpoints under {path}')
         step = max(steps)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(os.path.join(path, f'step_{step}'),

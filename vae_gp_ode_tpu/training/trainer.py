@@ -56,6 +56,19 @@ def create_train_state(model, variables, gp: SVGPParams, lr=1e-3,
     ), tx
 
 
+def _merge_collections(base, updates):
+    """Overlay a PARTIAL mutated flax collection onto the full one (flax
+    `mutable=` returns only entries actually written during apply - BN
+    layers running with use_running_average=True write nothing)."""
+    if not isinstance(base, dict):
+        return updates
+    out = dict(base)
+    for k, v in updates.items():
+        out[k] = _merge_collections(base.get(k, {}), v) \
+            if isinstance(v, dict) else v
+    return out
+
+
 def _make_step_fn(model, tx, num_observations: float,
                   eps_guard: bool = False, force_jnp: bool = False,
                   freeze_vae: bool = False):
@@ -68,10 +81,13 @@ def _make_step_fn(model, tx, num_observations: float,
 
     `freeze_vae=True` replicates the reference's pretrained-VAE step
     exactly (reference main.py:163-164 sets encoder/decoder to eval()):
-    BatchNorm normalises with the pretrained RUNNING statistics and
-    batch_stats are never updated. The optimizer-side freeze (zeroed VAE
-    updates, create_train_state) handles the weights; this handles the
-    statistics."""
+    BatchNorm in encoder/decoder normalises with the pretrained RUNNING
+    statistics and their batch_stats are never updated - but encoder_v is
+    NOT eval()'d by the reference, so in order-2 runs the velocity
+    encoder keeps train-mode BN (batch statistics + running-stat
+    updates; its weights stay frozen like the rest). The optimizer-side
+    freeze (zeroed VAE updates, create_train_state) handles the weights;
+    this handles the statistics."""
 
     def train_step(state: TrainState, batch, key, L: int):
         if force_jnp:
@@ -83,11 +99,16 @@ def _make_step_fn(model, tx, num_observations: float,
         def loss_fn(params):
             vae_params, gp = params
             if freeze_vae:
-                Xrec, s_stats, v_stats, nfe = model.apply(
+                # train_v=True: only encoder_v's BN runs train-mode, so
+                # the mutated batch_stats differ from state.batch_stats
+                # only in its subtree (empty diff for order-1 models)
+                (Xrec, s_stats, v_stats, nfe), updates = model.apply(
                     {'params': vae_params,
                      'batch_stats': state.batch_stats},
-                    batch, gp, key, L=L, train=False)
-                new_bs = state.batch_stats
+                    batch, gp, key, L=L, train=False, train_v=True,
+                    mutable=['batch_stats'])
+                new_bs = _merge_collections(
+                    state.batch_stats, updates.get('batch_stats', {}))
             else:
                 (Xrec, s_stats, v_stats, nfe), updates = model.apply(
                     {'params': vae_params,
