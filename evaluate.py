@@ -136,6 +136,7 @@ def evaluate_one(args, model_path):
         'mse_mean': round(mse_mean, 6),
         'mse_std': round(mse_std, 6),
         'mse_floor': round(floor_mean, 6),
+        'mse_floor_std': round(floor_std, 6),
         'mse_excess': round(mse_mean - floor_mean, 6),
         'L': args.L,
         'rollout_T': args.Troll * ta.T,

@@ -148,10 +148,9 @@ parser.add_argument('--profile', type=eval, default=False,
 
 
 def final_plots(logger, args, model, state, trainset, testset, meters,
-                eval_step, roll_step, key):
+                roll_step, key):
     """Latent-dynamics PCA, loss traces, hyperparameter trace, 2x-horizon
     rollout (reference create_plots.py:6-23)."""
-    import jax
     from vae_gp_ode_tpu.utils import plotting
 
     elbo_m, nll_m, zkl_m, ukl_m, hyp_m = meters
@@ -221,8 +220,8 @@ def main():
     from vae_gp_ode_tpu.utils import plotting
 
     # ---- seed (reference main.py:142)
-    root_key = jax.random.PRNGKey(args.seed)
-    np.random.seed(args.seed)
+    from vae_gp_ode_tpu.core.prng import seed_everything
+    root_key = seed_everything(args.seed)
 
     # ---- data (reference main.py:149)
     trainset, testset = load_data(args)
@@ -414,7 +413,7 @@ def main():
         logger.info('Kernel variance %s',
                     np.asarray(rbf_variance(st.gp.kernel)))
         final_plots(logger, args, model, st, trainset, testset,
-                    meters, eval_step, roll_step, key)
+                    meters, roll_step, key)
         sys.exit()
 
     def record_iter(itr, loss, nll, kl_reg, kl_u, variance):
@@ -463,10 +462,10 @@ def main():
                 tail = None
             state, metrics = run_epoch_with_tail(
                 train_epoch, train_step, state, batches, tail, k_ep, L)
-            losses, nlls, kl_regs, kl_us, var_now = [
+            losses, nlls, kl_regs, kl_us, var_iters = [
                 np.asarray(x) for x in jax.device_get(
                     (metrics['loss'], metrics['nll'], metrics['kl_reg'],
-                     metrics['kl_u'], rbf_variance(state.gp.kernel)))]
+                     metrics['kl_u'], metrics['kernel_var']))]
             finite = np.isfinite(losses)
             if not finite.all():
                 if args.nan_policy == 'bailout':
@@ -480,9 +479,22 @@ def main():
                     continue       # skipped step: keep meters finite
                 record_iter(itr, float(losses[itr]), float(nlls[itr]),
                             float(kl_regs[itr]), float(kl_us[itr]),
-                            var_now)
+                            var_iters[itr])
         else:
             for itr, minibatch in enumerate(trainset):
+                if args.data_parallel and \
+                        minibatch.shape[0] % max(len(jax.devices()), 1):
+                    # the shard_map/GSPMD steps need the batch divisible
+                    # by the mesh; the ragged tail (drop_last=False)
+                    # cannot shard - skip it like the fast-epoch DP path
+                    if not getattr(main, '_dp_tail_warned', False):
+                        logger.warning(
+                            'data-parallel: skipping ragged tail batch '
+                            'of %d sequences (not divisible by %d '
+                            'devices); use a divisor batch size',
+                            minibatch.shape[0], len(jax.devices()))
+                        main._dp_tail_warned = True
+                    continue
                 key, k_step = jax.random.split(key)
                 new_state, metrics = train_step(state, minibatch, k_step,
                                                 L)
@@ -537,7 +549,7 @@ def main():
     logger.info('Kernel variance %s',
                 np.asarray(rbf_variance(state.gp.kernel)))
     final_plots(logger, args, model, state, trainset, testset, meters,
-                eval_step, roll_step, key)
+                roll_step, key)
 
 
 if __name__ == '__main__':

@@ -78,8 +78,8 @@ def main():
     from vae_gp_ode_tpu.training import checkpoint as ckpt
     from vae_gp_ode_tpu.utils import plotting
 
-    np.random.seed(args.seed)
-    key = jax.random.PRNGKey(args.seed)
+    from vae_gp_ode_tpu.core.prng import seed_everything
+    key = seed_everything(args.seed)
 
     # ---- dataset create-or-load (reference main_vae.py:155-165)
     io_utils.makedirs(args.save)

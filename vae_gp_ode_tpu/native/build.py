@@ -39,7 +39,16 @@ def load_library():
         _tried = True
         try:
             with open(_SRC, 'rb') as f:
-                tag = hashlib.sha256(f.read()).hexdigest()[:16]
+                src_hash = hashlib.sha256(f.read()).hexdigest()[:16]
+            # -march=native output is host-ISA-specific: key the cache by
+            # host too, so a cache dir shared between heterogeneous
+            # machines (NFS home) never dlopens an AVX build on a host
+            # without those extensions (SIGILL with no fallback)
+            import platform
+            host = hashlib.sha256(
+                f'{platform.machine()}-{platform.processor()}-'
+                f'{platform.node()}'.encode()).hexdigest()[:8]
+            tag = f'{src_hash}-{host}'
             so_path = os.path.join(_cache_dir(), f'librotate_{tag}.so')
             if not os.path.exists(so_path):
                 subprocess.run(

@@ -34,8 +34,10 @@ import optax
 from jax.sharding import PartitionSpec as P
 
 from vae_gp_ode_tpu.parallel.mesh import shard_map
+from vae_gp_ode_tpu.kernels.rbf import rbf_variance
 from vae_gp_ode_tpu.training.objectives import compute_loss
-from vae_gp_ode_tpu.training.trainer import _make_epoch_fn
+from vae_gp_ode_tpu.training.trainer import (_make_epoch_fn,
+                                              _merge_collections)
 
 
 def _reparam_noise_full(model, key, n_global):
@@ -75,12 +77,16 @@ def _make_sharded_step(model, tx, num_observations, mesh, eps_guard,
         def loss_fn(params):
             vae_params, gp = params
             if freeze_vae:
-                Xrec, s_stats, v_stats, nfe = model_l.apply(
+                # same reference-exact semantics as the single-device
+                # step: encoder/decoder eval-mode, encoder_v train-mode
+                # (its BN stats psum over the data axis like any other)
+                (Xrec, s_stats, v_stats, nfe), updates = model_l.apply(
                     {'params': vae_params,
                      'batch_stats': state.batch_stats},
-                    batch, gp, key, L=L, train=False,
-                    reparam_noise=noise)
-                new_bs = state.batch_stats
+                    batch, gp, key, L=L, train=False, train_v=True,
+                    mutable=['batch_stats'], reparam_noise=noise)
+                new_bs = _merge_collections(
+                    state.batch_stats, updates.get('batch_stats', {}))
             else:
                 (Xrec, s_stats, v_stats, nfe), updates = model_l.apply(
                     {'params': vae_params,
@@ -114,7 +120,8 @@ def _make_sharded_step(model, tx, num_observations, mesh, eps_guard,
             step=state.step + 1, vae_params=new_vae, gp=new_gp,
             batch_stats=new_bs, opt_state=new_opt)
         metrics = {'loss': loss, 'nll': nll, 'kl_reg': kl_reg,
-                   'kl_u': kl_u, 'nfe': nfe}
+                   'kl_u': kl_u, 'nfe': nfe,
+                   'kernel_var': rbf_variance(new_gp.kernel)}
         return new_state, metrics
 
     return sharded_step

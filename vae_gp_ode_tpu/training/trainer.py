@@ -18,6 +18,7 @@ import optax
 from flax import struct
 
 from vae_gp_ode_tpu.gp.svgp import SVGPParams
+from vae_gp_ode_tpu.kernels.rbf import rbf_variance
 from vae_gp_ode_tpu.ops import config as ops_config
 from vae_gp_ode_tpu.training.objectives import compute_loss, compute_test_error
 
@@ -130,7 +131,11 @@ def _make_step_fn(model, tx, num_observations: float,
             step=state.step + 1, vae_params=new_vae, gp=new_gp,
             batch_stats=new_bs, opt_state=new_opt)
         metrics = {'loss': loss, 'nll': nll, 'kl_reg': kl_reg,
-                   'kl_u': kl_u, 'nfe': nfe}
+                   'kl_u': kl_u, 'nfe': nfe,
+                   # post-update kernel variance, so the scanned-epoch
+                   # path can log the LIVE per-iteration trace exactly
+                   # like the per-step loop (reference main.py:219)
+                   'kernel_var': rbf_variance(new_gp.kernel)}
         return new_state, metrics
 
     return train_step

@@ -202,7 +202,9 @@ def visualize_output(x, y, output_path, fname='vae_reconstructions.png'):
     visualize_output). Returns the reconstruction MSE."""
     x, y = np.asarray(x), np.asarray(y)
     n = min(16, x.shape[0])
-    fig, axs = plt.subplots(2, n, figsize=(n, 2.4))
+    # squeeze=False keeps axs 2-D at n == 1 (squeeze would collapse the
+    # column axis and axs[0, i] would IndexError)
+    fig, axs = plt.subplots(2, n, figsize=(n, 2.4), squeeze=False)
     for i in range(n):
         axs[0, i].imshow(_img(x[i]), cmap='gray')
         axs[1, i].imshow(_img(y[i]), cmap='gray')
