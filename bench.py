@@ -166,7 +166,34 @@ def get_torch_baseline():
         return 3.971, 'fallback'
 
 
+def _probe_backend(timeout_s=600):
+    """Fail fast (one parseable JSON error line) when the TPU backend
+    cannot initialise, instead of blocking ~20 min inside jax backend
+    init with no output (measured during the round-3 axon-pool outage).
+    The probe runs in a SUBPROCESS so this process's jax stays
+    uninitialised until the device is known-good."""
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, '-c',
+         'import jax, jax.numpy as jnp; '
+         'print(float((jnp.ones((8, 8)) @ jnp.ones((8, 8))).sum()))'],
+        capture_output=True, timeout=timeout_s, text=True)
+    if r.returncode != 0:
+        raise RuntimeError(f'backend probe failed: {r.stderr[-300:]}')
+
+
 def main():
+    try:
+        _probe_backend()
+    except Exception as e:
+        import json as _json
+        print(_json.dumps({
+            'metric': 'train_seqs_per_sec', 'value': None, 'unit': 'seqs/s',
+            'vs_baseline': None,
+            'error': f'TPU backend unavailable: {type(e).__name__}: '
+                     f'{str(e)[:200]}'}))
+        raise SystemExit(1)
     # ORDER MATTERS: the scanned phase must run FIRST. Running the
     # per-step phase degrades every subsequently launched program in this
     # process ~40x (measured: scanned-first 24,098 steps/s vs 611 after a
