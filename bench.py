@@ -106,7 +106,13 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     # arrays fetched once per epoch). Value fetches (not
     # block_until_ready, which can return early over the axon tunnel)
     # are the only completion proof - see measure_jax_steps_per_sec.
-    def run(L, reps):
+    def run(L, reps, fetch_every=1):
+        """fetch_every=k: dispatch every epoch but fetch a loss scalar
+        only every k epochs. The chain is serialised by data dependence
+        (epoch e+1 consumes epoch e's state), so the final fetch proves
+        the WHOLE chain completed - sound under this tunnel's lying
+        block_until_ready. k>1 isolates the per-epoch fetch round-trip
+        from the dispatch+compute cost (same compiled program)."""
         st, metrics = train_epoch(state, batches, key, L)
         float(metrics['loss'][-1])
         best = 0.0
@@ -116,7 +122,9 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
             for e in range(epochs_per_block):
                 st, metrics = train_epoch(st, batches,
                                           jax.random.fold_in(key, e), L)
-                float(metrics['loss'][-1])
+                if (e + 1) % fetch_every == 0:
+                    float(metrics['loss'][-1])
+            float(metrics['loss'][-1])        # final completion proof
             dt = time.perf_counter() - t0
             best = max(best, iters_per_epoch * epochs_per_block / dt)
         return best
@@ -137,7 +145,11 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     except Exception:
         flops_per_step = None
 
-    return run(1, reps), run(5, 2), flops_per_step
+    # chained-dispatch protocol: same compiled epoch, fetch once per 10
+    # epochs - measures how much of the per-epoch wall is the fetch
+    # round-trip (a candidate --epochs_per_dispatch lever for main.py)
+    chained = run(1, max(reps - 2, 2), fetch_every=10)
+    return run(1, reps), run(5, 2), flops_per_step, chained
 
 
 def get_torch_baseline():
@@ -202,7 +214,8 @@ def main():
     # property of the compiled code. Scanned-first keeps the headline
     # number clean; the per-step phase is dispatch-latency-bound either
     # way so the ordering does not distort it.
-    scan_sps, scan_sps_l5, flops_per_step = measure_scanned_steps_per_sec()
+    (scan_sps, scan_sps_l5, flops_per_step,
+     scan_sps_chained) = measure_scanned_steps_per_sec()
     jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
     torch_sps, baseline_source = get_torch_baseline()
     # headline: the shipped default training path (whole-epoch scan, one
@@ -222,6 +235,8 @@ def main():
                                                               3),
             'ode_fn_evals_per_sec': round(scan_sps * nfe_per_step, 1),
             'model_flops_per_step': flops_per_step,
+            'train_steps_per_sec_chained_10ep_fetch': round(
+                scan_sps_chained, 3),
             'achieved_model_tflops_per_sec': (
                 round(flops_per_step * scan_sps / 1e12, 4)
                 if flops_per_step else None),
