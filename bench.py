@@ -145,28 +145,38 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     except Exception:
         flops_per_step = None
 
+    # ORDER: headline first. The chained protocol queues 10 un-fetched
+    # epoch dispatches - the deep-queue pattern measured to degrade
+    # subsequently launched programs in-process - so it runs LAST.
+    head = run(1, reps)
+    l5 = run(5, 2)
     # chained-dispatch protocol: same compiled epoch, fetch once per 10
     # epochs - measures how much of the per-epoch wall is the fetch
     # round-trip (a candidate --epochs_per_dispatch lever for main.py)
     chained = run(1, max(reps - 2, 2), fetch_every=10)
-    return run(1, reps), run(5, 2), flops_per_step, chained
+    return head, l5, flops_per_step, chained
 
 
 def get_torch_baseline():
     """Returns (steps_per_sec, source). source is 'cached', 'measured' or
     'fallback' - a fallback is reported loudly (stderr + JSON) so a broken
     baseline cannot silently inflate/deflate the speedup."""
+    want_cfg = {'batch': BATCH, 'T': T, 'q': Q, 'M': M, 'S': S, 'L': L,
+                'solver': 'euler'}
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)['torch_cpu_steps_per_sec'], 'cached'
+            cached = json.load(f)
+        # a cache measured at a DIFFERENT envelope must not silently
+        # skew vs_baseline; re-measure on config mismatch
+        if cached.get('config') == want_cfg:
+            return cached['torch_cpu_steps_per_sec'], 'cached'
     try:
         from bench_baseline_torch import measure_torch_cpu_steps_per_sec
         sps = measure_torch_cpu_steps_per_sec(batch=BATCH, T=T, q=Q, M=M,
                                               S=S)
         with open(BASELINE_CACHE, 'w') as f:
             json.dump({'torch_cpu_steps_per_sec': sps,
-                       'config': {'batch': BATCH, 'T': T, 'q': Q, 'M': M,
-                                  'S': S, 'L': L, 'solver': 'euler'}}, f)
+                       'config': want_cfg}, f)
         return sps, 'measured'
     except Exception as e:
         # torch unavailable or measurement failed: fall back to the value

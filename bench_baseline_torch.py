@@ -104,7 +104,6 @@ def measure_torch_cpu_steps_per_sec(batch=20, T=16, q=6, M=100, S=256,
     """Time full training steps (forward+backward+Adam) of the reference
     computation on torch CPU; returns steps/sec."""
     torch.manual_seed(seed)
-    torch.set_num_threads(max(1, torch.get_num_threads()))
     enc, dec, gp = _Enc(q), _Dec(q), _GP(q, M, S)
     params = (list(enc.parameters()) + list(dec.parameters())
               + list(gp.parameters()))

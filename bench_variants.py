@@ -5,8 +5,9 @@ configuration on the reference envelope.
 Variants:
   xla          - pure XLA (set_use_pallas(False))
   pallas       - Pallas fused per-step eval fwd + hand-written Pallas bwd
-  pallas_jnpbwd- Pallas fwd + reference-graph bwd (round-1 default),
-                 selected via ops.pathwise fallback threshold monkeypatch
+  pallas_jnpbwd- Pallas fwd + reference-graph bwd (round-1 default,
+                 incl. its default matmul precision), swapped in by
+                 re-registering the custom_vjp backward (defvjp)
   fuseflow     - whole-trajectory fused kernel (set_fuse_flow(True))
   pallas_noremat / df - remat off / DF kernel
   df_fused     - DF kernel through the fused whole-trajectory Pallas
@@ -151,7 +152,7 @@ def main():
                 for i in range(3):
                     state, m = step(state, X, jax.random.fold_in(key, i),
                                     L)
-                jax.block_until_ready(m['loss'])
+                float(m['loss'])      # fetch: block_until_ready lies here
         finally:
             restore()
             ops_config.set_use_pallas(None)
@@ -176,11 +177,15 @@ def main():
             return run_block
 
         def run_block():
+            # fetch-forced (the per-step-FETCH protocol, like bench.py's
+            # per-step phase): the chain is serialised by the state
+            # dependence, so one final value fetch proves the whole
+            # block completed - block_until_ready returns early here
             st = box['state']
             t0 = time.perf_counter()
             for i in range(args.steps):
                 st, m = step(st, X, jax.random.fold_in(key, 99 + i), L)
-            jax.block_until_ready(m['loss'])
+            float(m['loss'])
             dt = time.perf_counter() - t0
             box['state'] = st
             return args.steps / dt

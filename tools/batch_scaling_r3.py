@@ -67,6 +67,7 @@ def measure(batch, iters, epochs, reps):
 
 
 def main():
+    failures = 0
     for batch, iters, epochs, reps in CASES:
         try:
             sps = measure(batch, iters, epochs, reps)
@@ -80,7 +81,8 @@ def main():
             print(json.dumps({'batch': batch, 'error':
                               f'{type(e).__name__}: {str(e)[:200]}'}),
                   flush=True)
-            raise SystemExit(1)
+            failures += 1
+    raise SystemExit(1 if failures else 0)
 
 
 if __name__ == '__main__':

@@ -17,7 +17,12 @@ import os
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
-os.environ.setdefault('XLA_FLAGS', '--xla_force_host_platform_device_count=8')
+_flag = '--xla_force_host_platform_device_count=8'
+if _flag not in os.environ.get('XLA_FLAGS', ''):
+    # APPEND (setdefault would silently drop the forcing when XLA_FLAGS
+    # is already exported, and make_mesh({'model': 8}) would then fail)
+    os.environ['XLA_FLAGS'] = (os.environ.get('XLA_FLAGS', '')
+                               + ' ' + _flag).strip()
 
 import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')

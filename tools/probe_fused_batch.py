@@ -56,7 +56,8 @@ def main():
                 g = grad_fn(*args)
                 gs = float(jnp.sum(g[0] ** 2)) + float(jnp.sum(g[1] ** 2))
                 dt = time.time() - t0
-                ok = (v == v) and (gs == gs)      # NaN check
+                import math
+                ok = math.isfinite(v) and math.isfinite(gs)
                 print(f'N={N:5d} order={order}: '
                       f'{"OK " if ok else "NaN"} loss={v:.4e} '
                       f'gnorm2={gs:.4e} compile+run={dt:.1f}s', flush=True)
@@ -101,7 +102,8 @@ def probe_train_step(quick=False):
                 t0 = time.time()
                 st, m = step(state, X, jax.random.PRNGKey(2), 1)
                 v = float(m['loss'])                # value fetch = proof
-                ok = v == v
+                import math
+                ok = math.isfinite(v)
                 print(f'train_step {kernel} N={N:5d}: '
                       f'{"OK " if ok else "NaN"} loss={v:.4e} '
                       f'compile+run={time.time() - t0:.0f}s', flush=True)
