@@ -137,6 +137,18 @@ parser.add_argument('--fast_epoch', type=eval, default=True,
                          "(static scan shapes). False reproduces the "
                          "reference's per-iteration loop (sees every "
                          "sequence)")
+parser.add_argument('--epochs_per_fetch', type=int, default=1,
+                    help="fast-epoch only: chain this many whole-epoch "
+                         "dispatches on device between host metric "
+                         "fetches (one tunnel round-trip amortised over "
+                         "the chain - bench.py's chained-dispatch "
+                         "protocol). The training trajectory is "
+                         "bit-identical for any value; only the cadence "
+                         "of logging, meters, the NaN check and the "
+                         "frozen-VAE assert coarsens to the flush "
+                         "boundary, and plots/checkpoints force a flush "
+                         "at their epoch. 1 = fetch every epoch (the "
+                         "reference-faithful cadence)")
 
 # plotting arguments (reference main.py:113-114)
 parser.add_argument('--Troll', type=int, default=2)
@@ -435,6 +447,51 @@ def main():
                 nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg,
                 inducing_kl_meter.val, inducing_kl_meter.avg)
 
+    pending = []   # device-side epoch rows queued between metric fetches
+
+    def flush_pending():
+        """Fetch every queued epoch's metrics in ONE transfer, then run
+        the host-side bookkeeping (meters, log lines, NaN policy,
+        frozen-VAE assert) in epoch order. With --epochs_per_fetch 1
+        (default) this runs every epoch - the reference-faithful cadence;
+        larger values amortise the tunnel round-trip over a chain of
+        un-fetched epoch dispatches (the data dependence through the
+        train state serialises them on device)."""
+        nonlocal pending
+        if not pending:
+            return
+        rows = jax.device_get(pending)
+        pending = []
+        for row in rows:
+            ep_r = row['ep']
+            losses = np.asarray(row['loss'])
+            finite = np.isfinite(losses)
+            if not finite.all():
+                if args.nan_policy == 'bailout':
+                    nan_bailout(ep_r)
+                logger.warning(
+                    'epoch %d: %d/%d steps produced a non-finite loss; '
+                    'their updates were discarded (--nan_policy skip)',
+                    ep_r, int((~finite).sum()), len(losses))
+            nlls, kl_regs, kl_us, var_iters = (
+                np.asarray(row['nll']), np.asarray(row['kl_reg']),
+                np.asarray(row['kl_u']), np.asarray(row['kernel_var']))
+            for itr in range(len(losses)):
+                if not finite[itr]:
+                    continue       # skipped step: keep meters finite
+                record_iter(itr, float(losses[itr]), float(nlls[itr]),
+                            float(kl_regs[itr]), float(kl_us[itr]),
+                            var_iters[itr])
+            if 'frozen_ok' in row:
+                # reference main.py:230-234
+                assert bool(row['frozen_ok']), 'frozen VAE weights changed!'
+            mse_meter.reset()
+            mse_meter.update(float(row['mse']), 0)
+            logger.info('Epoch:%4d/%4d| tr_elbo:%8.2f(%8.2f) | '
+                        'test_mse:%5.3f(%5.3f)\n', ep_r, args.Nepoch,
+                        elbo_meter.val, elbo_meter.avg, mse_meter.val,
+                        mse_meter.avg)
+
     for ep in range(args.Nepoch):
         if args.profile and ep == min(1, args.Nepoch - 1) and not profiling:
             jax.profiler.start_trace(os.path.join(args.save, 'profile'))
@@ -442,11 +499,10 @@ def main():
         L = 1 if ep < args.Nepoch // 2 else 5   # reference main.py:200
 
         if use_fast:
-            # whole-epoch scan: one device dispatch, metrics as arrays.
-            # All five metric arrays come back in ONE fetch (each host
-            # round-trip over the remote-TPU link costs ~ms-30ms; five
-            # separate np.asarray calls were a measurable slice of the
-            # ~300 ms/epoch wall)
+            # whole-epoch scan: one device dispatch, metrics as arrays
+            # queued device-side and fetched at the flush boundary (all
+            # rows in ONE transfer - each host round-trip over the
+            # remote-TPU link costs ~ms-30ms)
             key, k_ep = jax.random.split(key)
             batches, tail = trainset.epoch_batches_with_tail()
             if tail is not None and args.data_parallel \
@@ -462,24 +518,43 @@ def main():
                 tail = None
             state, metrics = run_epoch_with_tail(
                 train_epoch, train_step, state, batches, tail, k_ep, L)
-            losses, nlls, kl_regs, kl_us, var_iters = [
-                np.asarray(x) for x in jax.device_get(
-                    (metrics['loss'], metrics['nll'], metrics['kl_reg'],
-                     metrics['kl_u'], metrics['kernel_var']))]
-            finite = np.isfinite(losses)
-            if not finite.all():
-                if args.nan_policy == 'bailout':
-                    nan_bailout(ep)
-                logger.warning(
-                    'epoch %d: %d/%d steps produced a non-finite loss; '
-                    'their updates were discarded (--nan_policy skip)',
-                    ep, int((~finite).sum()), len(losses))
-            for itr in range(len(losses)):
-                if not finite[itr]:
-                    continue       # skipped step: keep meters finite
-                record_iter(itr, float(losses[itr]), float(nlls[itr]),
-                            float(kl_regs[itr]), float(kl_us[itr]),
-                            var_iters[itr])
+            row = {'ep': ep, 'loss': metrics['loss'],
+                   'nll': metrics['nll'], 'kl_reg': metrics['kl_reg'],
+                   'kl_u': metrics['kl_u'],
+                   'kernel_var': metrics['kernel_var']}
+            if args.pretrained:
+                # device-side equality: one boolean per epoch, fetched
+                # with the rest of the row at the flush boundary
+                row['frozen_ok'] = frozen_vae_unchanged(state.vae_params)
+
+            if profiling:
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info('Profiler trace written to %s',
+                            os.path.join(args.save, 'profile'))
+
+            # per-epoch monitoring eval: first test batch only (reference
+            # main.py:236-246); its scalar joins the queued row
+            key, k_ev = jax.random.split(key)
+            test_batch = testset.first()
+            Xrec, test_mse, new_bs = epoch_eval(state, test_batch, k_ev, 1)
+            state = state.replace(batch_stats=new_bs)
+            row['mse'] = test_mse
+            pending.append(row)
+
+            need_artifacts = (ep % args.plot_freq == 0
+                              or ep == args.Nepoch - 1)
+            if need_artifacts or ep == args.Nepoch - 1 \
+                    or len(pending) >= max(args.epochs_per_fetch, 1):
+                # flush BEFORE writing artifacts so a NaN bailout reloads
+                # the previous checkpoint, not this epoch's
+                flush_pending()
+            if need_artifacts:
+                plotting.plot_rot_mnist(
+                    np.asarray(test_batch), np.asarray(Xrec[0]), False,
+                    fname=os.path.join(args.save, 'plots/rot_mnist.png'))
+                ckpt.save_checkpoint(state, ckpt_path)
+            continue
         else:
             for itr, minibatch in enumerate(trainset):
                 if args.data_parallel and \

@@ -45,6 +45,29 @@ def test_main_trains_and_writes_artifacts(tmp_path):
 
 
 @pytest.mark.slow
+def test_epochs_per_fetch_trajectory_identical(tmp_path):
+    """--epochs_per_fetch chains epoch dispatches between metric fetches;
+    the training trajectory and every logged metric must be bit-identical
+    to the fetch-every-epoch default (only the fetch cadence changes)."""
+    import re
+    logs = []
+    for k in ('1', '3'):
+        save = str(tmp_path / f'epf{k}')
+        r = _run(['main.py', '--device', 'cpu', '--Nepoch', '4', '--batch',
+                  '6', '--Ndata', '12', '--Ntest', '6', '--num_inducing',
+                  '8', '--num_features', '16', '--T', '6', '--plot_freq',
+                  '100', '--epochs_per_fetch', k, '--save', save])
+        assert r.returncode == 0, r.stderr[-2000:]
+        run_dir = [d for d in os.listdir(tmp_path)
+                   if d.startswith(f'epf{k}')][0]
+        logs.append((tmp_path / run_dir / 'logs').read_text())
+    rows = [re.findall(r'(tr_elbo:[^|]+\| test_mse:\S+)', t) for t in logs]
+    assert rows[0] == rows[1] and len(rows[0]) == 4
+    var = [re.findall(r'Kernel variance \[([^\]]+)', t) for t in logs]
+    assert var[0] == var[1] and var[0]
+
+
+@pytest.mark.slow
 def test_main_vae_pretrains_and_couples(tmp_path):
     out_dir = str(tmp_path / 'vae')
     data_dir = str(tmp_path / 'data')
