@@ -137,6 +137,20 @@ parser.add_argument('--fast_epoch', type=eval, default=True,
                          "(static scan shapes). False reproduces the "
                          "reference's per-iteration loop (sees every "
                          "sequence)")
+parser.add_argument('--epochs_per_dispatch', type=int, default=1,
+                    help="fast-epoch, single-device only: run this many "
+                         "whole epochs - train scan, ragged tail, AND the "
+                         "per-epoch monitoring eval - as ONE device "
+                         "dispatch (lax.scan over epochs; batch "
+                         "permutations precomputed on host from the same "
+                         "RNG stream and keys split in the same order, so "
+                         "the trajectory matches the per-epoch path up to "
+                         "XLA fusion rounding ~1e-6). Epochs that must run "
+                         "singly (artifact epochs, the L schedule switch, "
+                         "the final epoch, any remainder) fall back to "
+                         "the per-epoch dispatch automatically. Metric "
+                         "fetch cadence becomes max(this, "
+                         "--epochs_per_fetch)")
 parser.add_argument('--epochs_per_fetch', type=int, default=1,
                     help="fast-epoch only: chain this many whole-epoch "
                          "dispatches on device between host metric "
@@ -447,56 +461,111 @@ def main():
                 nll_meter.avg, reg_kl_meter.val, reg_kl_meter.avg,
                 inducing_kl_meter.val, inducing_kl_meter.avg)
 
-    pending = []   # device-side epoch rows queued between metric fetches
+    pending = []        # device-side epoch rows queued between fetches
+    pending_epochs = 0  # epochs covered by the queued rows
+
+    def host_epoch(ep_r, losses, nlls, kl_regs, kl_us, var_iters, mse):
+        """Host-side bookkeeping for ONE fetched epoch: NaN policy,
+        meters, the epoch log line."""
+        finite = np.isfinite(losses)
+        if not finite.all():
+            if args.nan_policy == 'bailout':
+                nan_bailout(ep_r)
+            logger.warning(
+                'epoch %d: %d/%d steps produced a non-finite loss; '
+                'their updates were discarded (--nan_policy skip)',
+                ep_r, int((~finite).sum()), len(losses))
+        for itr in range(len(losses)):
+            if not finite[itr]:
+                continue           # skipped step: keep meters finite
+            record_iter(itr, float(losses[itr]), float(nlls[itr]),
+                        float(kl_regs[itr]), float(kl_us[itr]),
+                        var_iters[itr])
+        mse_meter.reset()
+        mse_meter.update(float(mse), 0)
+        logger.info('Epoch:%4d/%4d| tr_elbo:%8.2f(%8.2f) | '
+                    'test_mse:%5.3f(%5.3f)\n', ep_r, args.Nepoch,
+                    elbo_meter.val, elbo_meter.avg, mse_meter.val,
+                    mse_meter.avg)
 
     def flush_pending():
-        """Fetch every queued epoch's metrics in ONE transfer, then run
-        the host-side bookkeeping (meters, log lines, NaN policy,
-        frozen-VAE assert) in epoch order. With --epochs_per_fetch 1
-        (default) this runs every epoch - the reference-faithful cadence;
-        larger values amortise the tunnel round-trip over a chain of
-        un-fetched epoch dispatches (the data dependence through the
-        train state serialises them on device)."""
-        nonlocal pending
+        """Fetch every queued row's metrics in ONE transfer, then run the
+        host-side bookkeeping in epoch order. A row covers one epoch
+        ('ep', 1D metric arrays) or a whole --epochs_per_dispatch segment
+        ('eps', 2D arrays with the epoch axis leading). With the default
+        cadence this runs every epoch - reference-faithful; larger
+        --epochs_per_fetch/--epochs_per_dispatch amortise the tunnel
+        round-trip over a chain of un-fetched dispatches (the data
+        dependence through the train state serialises them on device)."""
+        nonlocal pending, pending_epochs
         if not pending:
             return
         rows = jax.device_get(pending)
         pending = []
+        pending_epochs = 0
         for row in rows:
-            ep_r = row['ep']
-            losses = np.asarray(row['loss'])
-            finite = np.isfinite(losses)
-            if not finite.all():
-                if args.nan_policy == 'bailout':
-                    nan_bailout(ep_r)
-                logger.warning(
-                    'epoch %d: %d/%d steps produced a non-finite loss; '
-                    'their updates were discarded (--nan_policy skip)',
-                    ep_r, int((~finite).sum()), len(losses))
-            nlls, kl_regs, kl_us, var_iters = (
-                np.asarray(row['nll']), np.asarray(row['kl_reg']),
-                np.asarray(row['kl_u']), np.asarray(row['kernel_var']))
-            for itr in range(len(losses)):
-                if not finite[itr]:
-                    continue       # skipped step: keep meters finite
-                record_iter(itr, float(losses[itr]), float(nlls[itr]),
-                            float(kl_regs[itr]), float(kl_us[itr]),
-                            var_iters[itr])
+            vals = [np.asarray(row[k]) for k in
+                    ('loss', 'nll', 'kl_reg', 'kl_u', 'kernel_var', 'mse')]
+            if 'eps' in row:
+                for i, ep_r in enumerate(row['eps']):
+                    host_epoch(ep_r, *[v[i] for v in vals])
+            else:
+                host_epoch(row['ep'], *vals)
             if 'frozen_ok' in row:
-                # reference main.py:230-234
+                # reference main.py:230-234 (for a segment row the check
+                # is on the final state; equality there covers every
+                # epoch in the segment)
                 assert bool(row['frozen_ok']), 'frozen VAE weights changed!'
-            mse_meter.reset()
-            mse_meter.update(float(row['mse']), 0)
-            logger.info('Epoch:%4d/%4d| tr_elbo:%8.2f(%8.2f) | '
-                        'test_mse:%5.3f(%5.3f)\n', ep_r, args.Nepoch,
-                        elbo_meter.val, elbo_meter.avg, mse_meter.val,
-                        mse_meter.avg)
 
-    for ep in range(args.Nepoch):
+    # multi-epoch segments: train + tail + monitoring eval for E epochs
+    # in ONE device dispatch (single-device fast path only; profiling
+    # wants per-epoch trace boundaries)
+    E_disp = max(args.epochs_per_dispatch, 1)
+    multi_ok = (use_fast and E_disp > 1 and not args.data_parallel
+                and not args.profile)
+    if multi_ok:
+        from vae_gp_ode_tpu.training.trainer import make_train_segment
+        train_segment = make_train_segment(
+            model, tx, num_observations=args.Ndata,
+            eps_guard=args.eps_guard, freeze_vae=args.pretrained)
+
+    ep = 0
+    while ep < args.Nepoch:
         if args.profile and ep == min(1, args.Nepoch - 1) and not profiling:
             jax.profiler.start_trace(os.path.join(args.save, 'profile'))
             profiling = True
         L = 1 if ep < args.Nepoch // 2 else 5   # reference main.py:200
+
+        if multi_ok and not (ep % args.plot_freq == 0
+                             or ep == args.Nepoch - 1):
+            # distance to the next epoch that must run singly: an
+            # artifact epoch (ep % plot_freq == 0 and the final epoch,
+            # which plot + checkpoint) or the L schedule switch
+            nxt = args.Nepoch - 1
+            half = args.Nepoch // 2
+            if ep < half:
+                nxt = min(nxt, half)
+            nxt = min(nxt, ((ep // args.plot_freq) + 1) * args.plot_freq)
+            if nxt - ep >= E_disp:
+                heads, tails = trainset.epoch_index_batches(E_disp)
+                test_idx = testset.first_index(E_disp)
+                state, metrics, mses, key = train_segment(
+                    state, trainset.X, heads, tails, testset.X,
+                    test_idx, key, L)
+                row = {'eps': list(range(ep, ep + E_disp)),
+                       'loss': metrics['loss'], 'nll': metrics['nll'],
+                       'kl_reg': metrics['kl_reg'],
+                       'kl_u': metrics['kl_u'],
+                       'kernel_var': metrics['kernel_var'], 'mse': mses}
+                if args.pretrained:
+                    row['frozen_ok'] = frozen_vae_unchanged(
+                        state.vae_params)
+                pending.append(row)
+                pending_epochs += E_disp
+                if pending_epochs >= max(args.epochs_per_fetch, 1):
+                    flush_pending()
+                ep += E_disp
+                continue
 
         if use_fast:
             # whole-epoch scan: one device dispatch, metrics as arrays
@@ -541,11 +610,12 @@ def main():
             state = state.replace(batch_stats=new_bs)
             row['mse'] = test_mse
             pending.append(row)
+            pending_epochs += 1
 
             need_artifacts = (ep % args.plot_freq == 0
                               or ep == args.Nepoch - 1)
-            if need_artifacts or ep == args.Nepoch - 1 \
-                    or len(pending) >= max(args.epochs_per_fetch, 1):
+            if need_artifacts \
+                    or pending_epochs >= max(args.epochs_per_fetch, 1):
                 # flush BEFORE writing artifacts so a NaN bailout reloads
                 # the previous checkpoint, not this epoch's
                 flush_pending()
@@ -554,6 +624,7 @@ def main():
                     np.asarray(test_batch), np.asarray(Xrec[0]), False,
                     fname=os.path.join(args.save, 'plots/rot_mnist.png'))
                 ckpt.save_checkpoint(state, ckpt_path)
+            ep += 1
             continue
         else:
             for itr, minibatch in enumerate(trainset):
@@ -617,6 +688,7 @@ def main():
                     'test_mse:%5.3f(%5.3f)\n', ep, args.Nepoch,
                     elbo_meter.val, elbo_meter.avg, mse_meter.val,
                     mse_meter.avg)
+        ep += 1
 
     logger.info('********** Optimization completed **********')
     logger.info('Kernel lengthscales %s',

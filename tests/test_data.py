@@ -212,3 +212,36 @@ def test_epoch_batches_with_tail_covers_every_sequence():
     ld2 = dm.Loader(X[:8], batch_size=4, shuffle=False, seed=0)
     stacked2, tail2 = ld2.epoch_batches_with_tail()
     assert stacked2.shape == (2, 4, 1) and tail2 is None
+
+
+def test_epoch_index_batches_same_permutation_stream():
+    """The index-only form draws from the SAME one-permutation-per-epoch
+    stream as epoch_batches_with_tail / first(), so a device-side
+    multi-epoch segment gathering X[heads] trains on bit-identical
+    batches (and the eval sees the identical first test batch)."""
+    X = np.arange(20, dtype=np.float32).reshape(10, 2)
+    a = dm.Loader(X, batch_size=4, shuffle=True, seed=7)
+    b = dm.Loader(X, batch_size=4, shuffle=True, seed=7)
+    heads, tails = b.epoch_index_batches(3)
+    assert heads.shape == (3, 2, 4) and tails.shape == (3, 2)
+    for e in range(3):
+        stacked, tail = a.epoch_batches_with_tail()
+        np.testing.assert_array_equal(np.asarray(b.X[heads[e]]),
+                                      np.asarray(stacked))
+        np.testing.assert_array_equal(np.asarray(b.X[tails[e]]),
+                                      np.asarray(tail))
+
+    c = dm.Loader(X, batch_size=4, shuffle=True, seed=9)
+    d = dm.Loader(X, batch_size=4, shuffle=True, seed=9)
+    idx = d.first_index(2)
+    assert idx.shape == (2, 4)
+    for e in range(2):
+        np.testing.assert_array_equal(np.asarray(d.X[idx[e]]),
+                                      np.asarray(c.first()))
+
+    # divisor split: no tail; unshuffled: identity order
+    e1 = dm.Loader(X[:8], batch_size=4, shuffle=False, seed=0)
+    h, t = e1.epoch_index_batches(2)
+    assert t is None
+    np.testing.assert_array_equal(np.asarray(h[0]).ravel(),
+                                  np.arange(8))

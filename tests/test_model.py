@@ -347,3 +347,101 @@ def test_frozen_vae_order2_velocity_encoder_stays_train_mode():
         for b, a in zip(jax.tree_util.tree_leaves(bs0['encoder_v']),
                         jax.tree_util.tree_leaves(bs1['encoder_v'])))
     assert moved, 'encoder_v running stats must update (train-mode BN)'
+
+
+def test_train_segment_matches_per_epoch_driver(setup):
+    """make_train_segment (E epochs + ragged tail + monitoring eval in
+    ONE dispatch) must reproduce the per-epoch driver sequence - same
+    batches, same key-split order - to float tolerance (it is a separate
+    XLA compilation, so fusion rounding may differ at ~1e-6 relative;
+    anything larger means wrong batches/keys/semantics)."""
+    from vae_gp_ode_tpu.training.trainer import (
+        make_train_epoch, make_train_segment, make_epoch_eval_step,
+        run_epoch_with_tail)
+    model, variables, gp = setup
+    state0, tx = create_train_state(model, variables, gp)
+    step = make_train_step(model, tx, num_observations=float(N),
+                           eps_guard=True)
+    epoch = make_train_epoch(model, tx, num_observations=float(N),
+                             eps_guard=True)
+    ep_ev = make_epoch_eval_step(model)
+    segment = make_train_segment(model, tx, num_observations=float(N),
+                                 eps_guard=True)
+
+    E, I, R = 2, 2, 2
+    Xtr = make_batch(jax.random.PRNGKey(100), n=I * N + R)
+    Xte = make_batch(jax.random.PRNGKey(101), n=N + 1)
+    rng = np.random.RandomState(0)
+    heads = jnp.asarray(np.stack(
+        [rng.permutation(I * N + R)[:I * N].reshape(I, N)
+         for _ in range(E)]).astype(np.int32))
+    tails = jnp.asarray(rng.randint(0, I * N + R,
+                                    size=(E, R)).astype(np.int32))
+    test_idx = jnp.asarray(np.stack(
+        [rng.permutation(N + 1)[:N] for _ in range(E)]).astype(np.int32))
+    key0 = jax.random.PRNGKey(200)
+
+    # --- per-epoch driver replay (main.py's exact split order)
+    st, key = state0, key0
+    mses_ref, losses_ref = [], []
+    for e in range(E):
+        key, k_ep = jax.random.split(key)
+        st, m = run_epoch_with_tail(epoch, step, st, Xtr[heads[e]],
+                                    Xtr[tails[e]], k_ep, 1)
+        losses_ref.append(np.asarray(m['loss']))
+        key, k_ev = jax.random.split(key)
+        _, mse, new_bs = ep_ev(st, Xte[test_idx[e]], k_ev, 1)
+        st = st.replace(batch_stats=new_bs)
+        mses_ref.append(float(mse))
+
+    # --- one segment dispatch
+    st_s, metrics, mses, key_s = segment(state0, Xtr, heads, tails, Xte,
+                                         test_idx, key0, 1)
+
+    assert metrics['loss'].shape == (E, I + 1)
+    np.testing.assert_allclose(np.asarray(metrics['loss']),
+                               np.stack(losses_ref), rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(mses), np.asarray(mses_ref),
+                               rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(st_s.gp.Um),
+                               np.asarray(st.gp.Um), rtol=1e-3,
+                               atol=1e-5)
+    # the advanced key equals the host driver's (pure split bookkeeping)
+    np.testing.assert_array_equal(
+        jax.random.key_data(key_s), jax.random.key_data(key))
+    assert int(st_s.step) == E * (I + 1)
+
+    # tails=None variant compiles and keeps shapes
+    st_n, m_n, mses_n, _ = segment(state0, Xtr[:I * N],
+                                   heads % (I * N), None, Xte, test_idx,
+                                   key0, 1)
+    assert m_n['loss'].shape == (E, I) and mses_n.shape == (E,)
+
+
+def test_train_segment_freeze_vae_branch(setup):
+    """Frozen-VAE segment: eval-mode monitoring eval (no BN mutation),
+    VAE weights unchanged after a segment, GP still trains."""
+    from vae_gp_ode_tpu.training.trainer import make_train_segment
+    model, variables, gp = setup
+    state0, tx = create_train_state(model, variables, gp,
+                                    freeze_vae=True)
+    segment = make_train_segment(model, tx, num_observations=float(N),
+                                 eps_guard=True, freeze_vae=True)
+    Xtr = make_batch(jax.random.PRNGKey(110), n=2 * N)
+    Xte = make_batch(jax.random.PRNGKey(111), n=N)
+    heads = jnp.asarray(
+        np.stack([np.random.RandomState(e).permutation(2 * N).reshape(
+            2, N) for e in range(2)]).astype(np.int32))
+    test_idx = jnp.zeros((2, N), jnp.int32)
+    st, metrics, mses, _ = segment(state0, Xtr, heads, None, Xte,
+                                   test_idx, jax.random.PRNGKey(1), 1)
+    assert np.isfinite(np.asarray(mses)).all()
+    for a, b in zip(jax.tree_util.tree_leaves(st.vae_params),
+                    jax.tree_util.tree_leaves(state0.vae_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # BN stats untouched (frozen VAE evals in eval mode)
+    for a, b in zip(jax.tree_util.tree_leaves(st.batch_stats),
+                    jax.tree_util.tree_leaves(state0.batch_stats)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(st.gp.Um),
+                           np.asarray(state0.gp.Um))

@@ -32,6 +32,16 @@ echo "--- accuracy probe (VERDICT #7)" >> $LOG
 python tools/accuracy_probe_r3.py > results/accuracy_probe_r3.json 2>>$LOG
 echo "accuracy rc=$?" >> $LOG
 
+echo "--- main.py epochs_per_fetch A/B (chained metric -> real trainer)" >> $LOG
+python tools/epf_ab_r3.py --nepoch 600 --k 10 --mode fetch \
+  > results/epf_ab_r3.json 2>>$LOG
+echo "epf_ab fetch rc=$?" >> $LOG
+
+echo "--- main.py epochs_per_dispatch A/B (multi-epoch segment)" >> $LOG
+python tools/epf_ab_r3.py --nepoch 600 --k 10 --mode dispatch \
+  > results/epd_ab_r3.json 2>>$LOG
+echo "epf_ab dispatch rc=$?" >> $LOG
+
 echo "--- bench.py sanity" >> $LOG
 python bench.py > /tmp/bench_r3.json 2>>$LOG
 echo "bench rc=$?" >> $LOG

@@ -112,6 +112,39 @@ class Loader:
         tail = self.X[jnp.asarray(tail_idx)] if len(tail_idx) else None
         return stacked, tail
 
+    def epoch_index_batches(self, n_epochs):
+        """Index-only form of epoch_batches_with_tail for `n_epochs`
+        epochs: (heads (E, I, B) int32, tails (E, N % B) int32 or None).
+        Draws from the SAME permutation stream (one permutation per
+        epoch), so a device-side training segment that gathers X[heads]
+        sees bit-identically the batches n_epochs successive
+        epoch_batches_with_tail() calls would have produced."""
+        n = self.X.shape[0]
+        I = n // self.batch_size
+        heads, tails = [], []
+        for _ in range(n_epochs):
+            idx = (self._rng.permutation(n) if self.shuffle
+                   else np.arange(n))
+            heads.append(idx[:I * self.batch_size].reshape(
+                I, self.batch_size))
+            tails.append(idx[I * self.batch_size:])
+        heads = jnp.asarray(np.stack(heads).astype(np.int32))
+        tails = (jnp.asarray(np.stack(tails).astype(np.int32))
+                 if n % self.batch_size else None)
+        return heads, tails
+
+    def first_index(self, n_epochs):
+        """Indices of the first batch of `n_epochs` successive epochs,
+        (E, min(B, N)) int32 - the index-only form of n_epochs first()
+        calls, consuming the same one-permutation-per-epoch stream."""
+        n = self.X.shape[0]
+        out = []
+        for _ in range(n_epochs):
+            idx = (self._rng.permutation(n) if self.shuffle
+                   else np.arange(n))
+            out.append(idx[:self.batch_size])
+        return jnp.asarray(np.stack(out).astype(np.int32))
+
 
 def rot_start(X, T, seed=None):
     """Re-phase each sequence to a random initial rotation angle.

@@ -193,6 +193,88 @@ def make_train_epoch(model, tx, num_observations: float,
     return partial(jax.jit, static_argnums=(3,))(_make_epoch_fn(step))
 
 
+def make_train_segment(model, tx, num_observations: float,
+                       eps_guard: bool = False, freeze_vae: bool = False):
+    """E whole TRAINING EPOCHS - train scan, ragged-tail step, and the
+    reference's per-epoch first-test-batch monitoring eval (reference
+    main.py:236-246) - as ONE device dispatch.
+
+    The per-epoch scanned path still pays one dispatch for the train
+    epoch plus one for the eval every epoch; over a remote-TPU link those
+    round-trips bound wall-clock long before compute does. This segment
+    lax.scans whole epochs, gathering each epoch's batches on device from
+    host-precomputed permutation indices (Loader.epoch_index_batches /
+    first_index - the SAME permutation stream the per-epoch path
+    consumes) and splitting the PRNG key in exactly the per-epoch
+    driver's order, so the training trajectory sees identical batches
+    and randomness as E iterations of run_epoch_with_tail + the
+    monitoring eval; being a separate XLA compilation it may differ by
+    fusion rounding (~1e-6 relative, pinned in test_model.py), and the
+    host fetch cadence coarsens to the segment.
+
+    Returns segment(state, X, heads, tails, Xte, test_idx, key, L) ->
+    (state, metrics (E, I[+1]) arrays, mses (E,), key') with static L.
+    `tails` is None when Ndata % batch == 0 (its None-ness is baked into
+    the trace). The frozen-VAE weight assert stays with the driver: one
+    equality check on the segment-final params covers every epoch in it
+    (weights only change through optimizer updates).
+    """
+    step = _make_step_fn(model, tx, num_observations, eps_guard,
+                         freeze_vae=freeze_vae)
+    epoch = _make_epoch_fn(step)
+
+    @partial(jax.jit, static_argnums=(7,))
+    def segment(state: TrainState, X, heads, tails, Xte, test_idx, key,
+                L: int):
+        def body(carry, idx):
+            st, k = carry
+            if tails is None:
+                head_idx, te_idx = idx
+            else:
+                head_idx, tail_idx, te_idx = idx
+            # -- train epoch (driver order: key, k_ep = split(key), then
+            # run_epoch_with_tail splits k_ep into (k_scan, k_tail))
+            k, k_ep = jax.random.split(k)
+            k_scan, k_tail = jax.random.split(k_ep)
+            st, metrics = epoch(st, X[head_idx], k_scan, L)
+            if tails is not None:
+                new_st, tm = step(st, X[tail_idx], k_tail, L)
+                ok = jnp.isfinite(tm['loss'])
+                st = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                  new_st, st)
+                metrics = {kk: jnp.concatenate([v, tm[kk][None]])
+                           for kk, v in metrics.items()}
+            # -- monitoring eval on the epoch's first test batch
+            k, k_ev = jax.random.split(k)
+            test_batch = Xte[te_idx]
+            if freeze_vae:
+                # frozen VAE: eval-mode BN, stats untouched (the
+                # reference eval()s the pretrained encoder/decoder)
+                Xrec, _, _, _ = model.apply(
+                    {'params': st.vae_params,
+                     'batch_stats': st.batch_stats},
+                    test_batch, st.gp, k_ev, L=1, train=False)
+            else:
+                # reference main.py:236-246 never leaves train mode:
+                # batch-stat BN + running-stat updates folded back
+                (Xrec, _, _, _), updates = model.apply(
+                    {'params': st.vae_params,
+                     'batch_stats': st.batch_stats},
+                    test_batch, st.gp, k_ev, L=1, train=True,
+                    mutable=['batch_stats'])
+                st = st.replace(batch_stats=updates['batch_stats'])
+            mse = compute_test_error(test_batch, jnp.mean(Xrec, axis=0))
+            return (st, k), (metrics, mse)
+
+        xs = ((heads, test_idx) if tails is None
+              else (heads, tails, test_idx))
+        (state, key), (metrics, mses) = jax.lax.scan(body, (state, key),
+                                                     xs)
+        return state, metrics, mses, key
+
+    return segment
+
+
 def run_epoch_with_tail(train_epoch, train_step, state, batches, tail,
                         key, L: int):
     """One full epoch over a possibly-non-divisor split: the scanned
