@@ -6,6 +6,14 @@ cd /root/repo
 LOG=/tmp/r3_queue.log
 echo "=== r3 TPU queue start $(date)" >> $LOG
 
+# the host has ONE CPU: a concurrently-running pytest suite starves TPU
+# dispatch and corrupts the numbers (~2x, CLAUDE.md). Wait for any
+# suite holding the lock file to finish before timing anything.
+while [ -e /tmp/pytest_running.lock ]; do
+  echo "waiting for pytest lock $(date)" >> $LOG
+  sleep 30
+done
+
 echo "--- batch scaling" >> $LOG
 python tools/batch_scaling_r3.py > results/batch_scaling_r3.jsonl 2>>$LOG
 echo "batch_scaling rc=$?" >> $LOG
