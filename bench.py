@@ -145,16 +145,51 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     except Exception:
         flops_per_step = None
 
+    def run_segment(L, reps, n_epochs=10):
+        """The --epochs_per_dispatch protocol: n_epochs whole epochs -
+        train scan, plus the per-epoch monitoring eval the production
+        driver also pays - as ONE device dispatch (make_train_segment),
+        one loss fetch per dispatch. steps/s counts TRAIN steps only, so
+        the included eval makes this number conservative."""
+        from vae_gp_ode_tpu.training.trainer import make_train_segment
+        segment = make_train_segment(model, tx, num_observations=360.0,
+                                     eps_guard=True)
+        rng = __import__('numpy').random.RandomState(0)
+        n = iters_per_epoch * BATCH
+        X = batches.reshape((n,) + batches.shape[2:])
+        Xte = X[:40]
+        heads = jax.numpy.asarray(rng.permutation(
+            n * n_epochs).reshape(n_epochs, iters_per_epoch, BATCH) % n
+        ).astype('int32')
+        test_idx = jax.numpy.asarray(
+            rng.randint(0, 40, size=(n_epochs, BATCH)).astype('int32'))
+        st, m, mses, _ = segment(state, X, heads, None, Xte, test_idx,
+                                 key, L)
+        float(m['loss'][-1, -1])
+        best = 0.0
+        for r in range(reps):
+            t0 = time.perf_counter()
+            st, m, mses, _ = segment(state, X, heads, None, Xte,
+                                     test_idx, jax.random.fold_in(key, r),
+                                     L)
+            float(m['loss'][-1, -1])
+            dt = time.perf_counter() - t0
+            best = max(best, iters_per_epoch * n_epochs / dt)
+        return best
+
     # ORDER: headline first. The chained protocol queues 10 un-fetched
     # epoch dispatches - the deep-queue pattern measured to degrade
     # subsequently launched programs in-process - so it runs LAST.
     head = run(1, reps)
     l5 = run(5, 2)
+    # --epochs_per_dispatch protocol: 10 epochs + their evals in ONE
+    # dispatch (a single dispatch, not a deep queue - safe mid-order)
+    seg = run_segment(1, 3)
     # chained-dispatch protocol: same compiled epoch, fetch once per 10
     # epochs - measures how much of the per-epoch wall is the fetch
-    # round-trip (a candidate --epochs_per_dispatch lever for main.py)
+    # round-trip (the --epochs_per_fetch lever in main.py)
     chained = run(1, max(reps - 2, 2), fetch_every=10)
-    return head, l5, flops_per_step, chained
+    return head, l5, flops_per_step, chained, seg
 
 
 def get_torch_baseline():
@@ -225,7 +260,7 @@ def main():
     # number clean; the per-step phase is dispatch-latency-bound either
     # way so the ordering does not distort it.
     (scan_sps, scan_sps_l5, flops_per_step,
-     scan_sps_chained) = measure_scanned_steps_per_sec()
+     scan_sps_chained, scan_sps_segment) = measure_scanned_steps_per_sec()
     jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
     torch_sps, baseline_source = get_torch_baseline()
     # headline: the shipped default training path (whole-epoch scan, one
@@ -247,6 +282,8 @@ def main():
             'model_flops_per_step': flops_per_step,
             'train_steps_per_sec_chained_10ep_fetch': round(
                 scan_sps_chained, 3),
+            'train_steps_per_sec_segment_10ep_incl_eval': round(
+                scan_sps_segment, 3),
             'achieved_model_tflops_per_sec': (
                 round(flops_per_step * scan_sps / 1e12, 4)
                 if flops_per_step else None),
