@@ -353,7 +353,9 @@ def main():
               hyperparam_meter)
 
     use_fast = args.fast_epoch
-    if args.data_parallel and len(jax.devices()) > 1:
+    dp_active = args.data_parallel and len(jax.devices()) > 1
+    dp_impl_resolved = None
+    if dp_active:
         from vae_gp_ode_tpu.ops import config as ops_config
         from vae_gp_ode_tpu.parallel import (
             make_mesh, make_parallel_train_step, make_parallel_train_epoch,
@@ -370,6 +372,7 @@ def main():
                            '0 (got %d %% %d); falling back to gspmd',
                            args.batch, ndev)
             impl = 'gspmd'
+        dp_impl_resolved = impl
         if impl == 'shardmap':
             # per-shard step: keeps the fused Pallas kernels on every chip
             make_step, make_epoch = (make_shardmap_train_step,
@@ -518,12 +521,18 @@ def main():
                 assert bool(row['frozen_ok']), 'frozen VAE weights changed!'
 
     # multi-epoch segments: train + tail + monitoring eval for E epochs
-    # in ONE device dispatch (single-device fast path only; profiling
-    # wants per-epoch trace boundaries)
+    # in ONE device dispatch (single-device, or shard_map data-parallel
+    # with per-shard Pallas kernels; profiling wants per-epoch trace
+    # boundaries; the GSPMD DP path stays per-epoch)
     E_disp = max(args.epochs_per_dispatch, 1)
-    multi_ok = (use_fast and E_disp > 1 and not args.data_parallel
-                and not args.profile)
-    if multi_ok:
+    multi_ok = (use_fast and E_disp > 1 and not args.profile
+                and (not dp_active or dp_impl_resolved == 'shardmap'))
+    if multi_ok and dp_active:
+        from vae_gp_ode_tpu.parallel import make_shardmap_train_segment
+        train_segment = make_shardmap_train_segment(
+            model, tx, num_observations=args.Ndata, mesh=mesh,
+            eps_guard=args.eps_guard, freeze_vae=args.pretrained)
+    elif multi_ok:
         from vae_gp_ode_tpu.training.trainer import make_train_segment
         train_segment = make_train_segment(
             model, tx, num_observations=args.Ndata,
@@ -549,6 +558,18 @@ def main():
             if nxt - ep >= E_disp:
                 heads, tails = trainset.epoch_index_batches(E_disp)
                 test_idx = testset.first_index(E_disp)
+                if tails is not None and dp_active \
+                        and tails.shape[1] % len(jax.devices()):
+                    # same regime as the per-epoch DP path: a ragged
+                    # tail cannot shard over the mesh
+                    if not getattr(main, '_dp_tail_warned', False):
+                        logger.warning(
+                            'data-parallel segment: dropping ragged '
+                            'tail batch of %d sequences (not divisible '
+                            'by %d devices)', tails.shape[1],
+                            len(jax.devices()))
+                        main._dp_tail_warned = True
+                    tails = None
                 state, metrics, mses, key = train_segment(
                     state, trainset.X, heads, tails, testset.X,
                     test_idx, key, L)

@@ -327,3 +327,55 @@ def test_feature_parallel_sharded_draw_validation():
                                M=12, kernel='RBF')
     with pytest.raises(ValueError, match='S % n_devices'):
         fp_draw_fn_sample(gp, jax.random.PRNGKey(1), 60, mesh)
+
+
+def test_shardmap_dp_segment_matches_single_device():
+    """Multi-epoch DP segment (one dispatch for E epochs + evals, per-
+    shard Pallas kernels) == the single-device make_train_segment on
+    identical indices/keys; state stays replicated across the mesh."""
+    from vae_gp_ode_tpu.ops import config as ops_config
+    from vae_gp_ode_tpu.parallel.shard_dp import (
+        make_shardmap_train_segment)
+    from vae_gp_ode_tpu.training.trainer import make_train_segment
+
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,
+        num_features=16, num_inducing=8, batch=8, T=4)
+    state, tx = create_train_state(model, variables, gp,
+                                   optimizer=optax.sgd(1e-5))
+    E, I, B = 2, 2, 8
+    Xtr = jax.random.uniform(jax.random.PRNGKey(8), (I * B, 4, 1, 28, 28))
+    Xte = jax.random.uniform(jax.random.PRNGKey(9), (B, 4, 1, 28, 28))
+    rng = np.random.RandomState(3)
+    heads = jnp.asarray(np.stack(
+        [rng.permutation(I * B).reshape(I, B) for _ in range(E)]
+    ).astype(np.int32))
+    test_idx = jnp.asarray(np.stack(
+        [rng.permutation(B) for _ in range(E)]).astype(np.int32))
+    key = jax.random.PRNGKey(10)
+
+    ops_config.set_use_pallas(True)
+    try:
+        seg1 = make_train_segment(model, tx, num_observations=float(I * B),
+                                  eps_guard=True)
+        s1, m1, mse1, k1 = seg1(state, Xtr, heads, None, Xte, test_idx,
+                                key, 1)
+
+        mesh = make_mesh({'data': 8})
+        segn = make_shardmap_train_segment(
+            model, tx, num_observations=float(I * B), mesh=mesh,
+            eps_guard=True)
+        sn, mn, msen, kn = segn(replicate(state, mesh), Xtr, heads, None,
+                                Xte, test_idx, key, 1)
+    finally:
+        ops_config.set_use_pallas(None)
+
+    np.testing.assert_allclose(np.asarray(m1['loss']),
+                               np.asarray(mn['loss']), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(mse1), np.asarray(msen),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(s1.gp.Um), np.asarray(sn.gp.Um),
+                               rtol=2e-2, atol=1e-5)
+    np.testing.assert_array_equal(jax.random.key_data(k1),
+                                  jax.random.key_data(kn))
+    assert int(sn.step) == int(s1.step) == E * I

@@ -8,4 +8,5 @@ from vae_gp_ode_tpu.parallel.feature_parallel import (  # noqa: F401
 )
 from vae_gp_ode_tpu.parallel.shard_dp import (  # noqa: F401
     make_shardmap_train_step, make_shardmap_train_epoch,
+    make_shardmap_train_segment,
 )

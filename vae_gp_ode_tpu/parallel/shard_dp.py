@@ -37,6 +37,7 @@ from vae_gp_ode_tpu.parallel.mesh import shard_map
 from vae_gp_ode_tpu.kernels.rbf import rbf_variance
 from vae_gp_ode_tpu.training.objectives import compute_loss
 from vae_gp_ode_tpu.training.trainer import (_make_epoch_fn,
+                                              _make_segment_fn,
                                               _merge_collections)
 
 
@@ -167,3 +168,26 @@ def make_shardmap_train_epoch(model, tx, num_observations, mesh,
         return _shard_mapped(sharded, mesh, axis, L)(state, batch, key)
 
     return partial(jax.jit, static_argnums=(3,))(_make_epoch_fn(step))
+
+
+def make_shardmap_train_segment(model, tx, num_observations, mesh,
+                                eps_guard=False, axis='data',
+                                freeze_vae=False):
+    """E whole epochs + the per-epoch monitoring eval as ONE dispatch,
+    data-parallel with per-shard Pallas kernels: the segment body
+    (training.trainer._make_segment_fn - same key-split order and
+    permutation-stream contract as the single-device
+    make_train_segment) scans epochs of shard_map'd steps. X/Xte stay
+    replicated; each step's gathered (B, ...) batch is resharded over
+    `axis` by shard_map's in_specs (B %% n_devices == 0 required). The
+    monitoring eval runs replicated - identical to the per-epoch DP
+    driver, which evals with the plain single-device step on the
+    replicated state."""
+    sharded = _make_sharded_step(model, tx, num_observations, mesh,
+                                 eps_guard, axis, freeze_vae)
+
+    def step(state, batch, key, L: int):
+        return _shard_mapped(sharded, mesh, axis, L)(state, batch, key)
+
+    return partial(jax.jit, static_argnums=(7,))(
+        _make_segment_fn(step, model, freeze_vae))

@@ -221,9 +221,19 @@ def make_train_segment(model, tx, num_observations: float,
     """
     step = _make_step_fn(model, tx, num_observations, eps_guard,
                          freeze_vae=freeze_vae)
+    return partial(jax.jit, static_argnums=(7,))(
+        _make_segment_fn(step, model, freeze_vae))
+
+
+def _make_segment_fn(step, model, freeze_vae):
+    """The un-jitted E-epoch segment body over an arbitrary `step`
+    (single-device _make_step_fn or the shard_map DP step - the epoch
+    scan, tail handling, key-split order and monitoring eval are
+    identical; the DP eval runs replicated, which equals the
+    single-device eval bit-for-bit since state and test batch are
+    replicated). See make_train_segment for the full contract."""
     epoch = _make_epoch_fn(step)
 
-    @partial(jax.jit, static_argnums=(7,))
     def segment(state: TrainState, X, heads, tails, Xte, test_idx, key,
                 L: int):
         def body(carry, idx):
