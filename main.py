@@ -527,6 +527,14 @@ def main():
     E_disp = max(args.epochs_per_dispatch, 1)
     multi_ok = (use_fast and E_disp > 1 and not args.profile
                 and (not dp_active or dp_impl_resolved == 'shardmap'))
+    if args.plot_freq == 1 and (E_disp > 1
+                                or args.epochs_per_fetch > 1):
+        # every epoch is an artifact epoch at plot_freq=1: artifacts
+        # force a per-epoch flush, so the requested chaining never fires
+        logger.warning(
+            '--epochs_per_dispatch/--epochs_per_fetch > 1 have no effect '
+            'at --plot_freq 1 (every epoch plots + checkpoints, forcing '
+            'a per-epoch flush); raise --plot_freq to engage them')
     if multi_ok and dp_active:
         from vae_gp_ode_tpu.parallel import make_shardmap_train_segment
         train_segment = make_shardmap_train_segment(
@@ -618,6 +626,10 @@ def main():
                 row['frozen_ok'] = frozen_vae_unchanged(state.vae_params)
 
             if profiling:
+                # the dispatch returns before the device finishes (async,
+                # and block_until_ready lies over the axon tunnel): force
+                # a value fetch so the trace captures the whole epoch
+                float(metrics['loss'][-1])
                 jax.profiler.stop_trace()
                 profiling = False
                 logger.info('Profiler trace written to %s',

@@ -20,3 +20,39 @@ import jax  # noqa: E402
 # force the CPU backend explicitly so tests use the virtual 8-device mesh
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_default_matmul_precision', 'highest')
+
+
+# advertise a running suite to the TPU benchmark queue: this host has ONE
+# CPU, and a concurrent pytest run starves TPU dispatch (~2x timing
+# corruption, CLAUDE.md). tools/r3_tpu_queue.sh waits (bounded) while this
+# lock exists and its pid is alive.
+_LOCK = '/tmp/pytest_running.lock'
+
+
+def pytest_sessionstart(session):
+    try:
+        # don't clobber a live concurrent session's lock (its pid would
+        # be lost and its session would lose lock protection on our exit)
+        if os.path.exists(_LOCK):
+            with open(_LOCK) as f:
+                pid = f.read().strip()
+            if pid and pid != str(os.getpid()):
+                try:
+                    os.kill(int(pid), 0)
+                    return          # other session alive: leave its lock
+                except (OSError, ValueError):
+                    pass            # stale: take it over
+        with open(_LOCK, 'w') as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        with open(_LOCK) as f:
+            if f.read().strip() != str(os.getpid()):
+                return              # not ours: leave it
+        os.remove(_LOCK)
+    except OSError:
+        pass

@@ -7,11 +7,19 @@ LOG=/tmp/r3_queue.log
 echo "=== r3 TPU queue start $(date)" >> $LOG
 
 # the host has ONE CPU: a concurrently-running pytest suite starves TPU
-# dispatch and corrupts the numbers (~2x, CLAUDE.md). Wait for any
-# suite holding the lock file to finish before timing anything.
-while [ -e /tmp/pytest_running.lock ]; do
-  echo "waiting for pytest lock $(date)" >> $LOG
-  sleep 30
+# dispatch and corrupts the numbers (~2x, CLAUDE.md). tests/conftest.py
+# writes its pid to this lock at session start and removes it at session
+# end; wait for it, bounded (stale lock / dead pid -> proceed; the full
+# suite takes ~26 min, so 60 min covers it with margin).
+WAITED=0
+while [ -e /tmp/pytest_running.lock ] && [ $WAITED -lt 3600 ]; do
+  PID=$(cat /tmp/pytest_running.lock 2>/dev/null)
+  if [ -n "$PID" ] && ! kill -0 "$PID" 2>/dev/null; then
+    echo "stale pytest lock (pid $PID dead), proceeding $(date)" >> $LOG
+    break
+  fi
+  echo "waiting for pytest lock (pid $PID) $(date)" >> $LOG
+  sleep 30; WAITED=$((WAITED+30))
 done
 
 echo "--- batch scaling" >> $LOG

@@ -242,18 +242,13 @@ def _make_segment_fn(step, model, freeze_vae):
                 head_idx, te_idx = idx
             else:
                 head_idx, tail_idx, te_idx = idx
-            # -- train epoch (driver order: key, k_ep = split(key), then
-            # run_epoch_with_tail splits k_ep into (k_scan, k_tail))
+            # -- train epoch (driver order: key, k_ep = split(key); the
+            # shared helper owns the k_scan/k_tail split and the tail
+            # NaN-guard, so segment and per-epoch semantics cannot drift)
             k, k_ep = jax.random.split(k)
-            k_scan, k_tail = jax.random.split(k_ep)
-            st, metrics = epoch(st, X[head_idx], k_scan, L)
-            if tails is not None:
-                new_st, tm = step(st, X[tail_idx], k_tail, L)
-                ok = jnp.isfinite(tm['loss'])
-                st = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
-                                  new_st, st)
-                metrics = {kk: jnp.concatenate([v, tm[kk][None]])
-                           for kk, v in metrics.items()}
+            st, metrics = run_epoch_with_tail(
+                epoch, step, st, X[head_idx],
+                None if tails is None else X[tail_idx], k_ep, L)
             # -- monitoring eval on the epoch's first test batch
             k, k_ev = jax.random.split(k)
             test_batch = Xte[te_idx]
