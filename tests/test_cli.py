@@ -68,6 +68,38 @@ def test_epochs_per_fetch_trajectory_identical(tmp_path):
 
 
 @pytest.mark.slow
+def test_epochs_per_dispatch_trajectory_close(tmp_path):
+    """--epochs_per_dispatch runs E whole epochs (train + monitoring
+    eval) per device dispatch; the trajectory must match the per-epoch
+    path to float tolerance (separate XLA compilation -> ~1e-6 fusion
+    rounding, NOT bit-exact) and every epoch must still be logged.
+    Covers the driver's segment scheduling: artifact epoch 0, segments,
+    the L switch at Nepoch//2, remainder singles, the final epoch."""
+    import re
+    import numpy as np
+    logs = []
+    for e in ('1', '3'):
+        save = str(tmp_path / f'epd{e}')
+        r = _run(['main.py', '--device', 'cpu', '--Nepoch', '10',
+                  '--batch', '4', '--Ndata', '14', '--Ntest', '6',
+                  '--num_inducing', '8', '--num_features', '16', '--T',
+                  '6', '--plot_freq', '100', '--log_freq', '1000',
+                  '--epochs_per_dispatch', e, '--save', save],
+                 timeout=900)
+        assert r.returncode == 0, r.stderr[-2000:]
+        run_dir = [d for d in os.listdir(tmp_path)
+                   if d.startswith(f'epd{e}')][0]
+        logs.append((tmp_path / run_dir / 'logs').read_text())
+    rows = [re.findall(r'tr_elbo:\s*(-?[\d.]+)\(.*?test_mse:\s*([\d.]+)',
+                       t) for t in logs]
+    assert len(rows[0]) == len(rows[1]) == 10
+    elbo = [np.array([float(a) for a, _ in r]) for r in rows]
+    mse = [np.array([float(b) for _, b in r]) for r in rows]
+    np.testing.assert_allclose(elbo[0], elbo[1], rtol=5e-3)
+    np.testing.assert_allclose(mse[0], mse[1], rtol=2e-2)
+
+
+@pytest.mark.slow
 def test_main_vae_pretrains_and_couples(tmp_path):
     out_dir = str(tmp_path / 'vae')
     data_dir = str(tmp_path / 'data')
