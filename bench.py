@@ -183,8 +183,16 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     head = run(1, reps)
     l5 = run(5, 2)
     # --epochs_per_dispatch protocol: 10 epochs + their evals in ONE
-    # dispatch (a single dispatch, not a deep queue - safe mid-order)
-    seg = run_segment(1, 3)
+    # dispatch (a single dispatch, not a deep queue - safe mid-order).
+    # Guarded: a failure here (e.g. a compile issue specific to the big
+    # segment program) must not take down the headline metrics.
+    try:
+        seg = run_segment(1, 3)
+    except Exception as e:
+        import sys
+        print(f'WARNING: segment protocol failed ({type(e).__name__}: '
+              f'{str(e)[:200]}); reporting null', file=sys.stderr)
+        seg = None
     # chained-dispatch protocol: same compiled epoch, fetch once per 10
     # epochs - measures how much of the per-epoch wall is the fetch
     # round-trip (the --epochs_per_fetch lever in main.py)
@@ -282,8 +290,9 @@ def main():
             'model_flops_per_step': flops_per_step,
             'train_steps_per_sec_chained_10ep_fetch': round(
                 scan_sps_chained, 3),
-            'train_steps_per_sec_segment_10ep_incl_eval': round(
-                scan_sps_segment, 3),
+            'train_steps_per_sec_segment_10ep_incl_eval': (
+                round(scan_sps_segment, 3)
+                if scan_sps_segment is not None else None),
             'achieved_model_tflops_per_sec': (
                 round(flops_per_step * scan_sps / 1e12, 4)
                 if flops_per_step else None),
