@@ -248,7 +248,34 @@ def _probe_backend(timeout_s=600):
         raise RuntimeError(f'backend probe failed: {r.stderr[-300:]}')
 
 
+def _wait_for_tpu_lease(lease='/tmp/tpu_lease.lock', max_wait_s=2700):
+    """Only ONE process can hold the experimental axon chip - a second
+    client blocks in backend init until it times out (measured during
+    round 3). Measurement scripts that hold the chip for a while (e.g.
+    tools/r3_tpu_queue.sh) write their pid to this lease file; wait for
+    it, bounded, so a bench launched mid-measurement records a real
+    number instead of a spurious backend-unavailable null. A lease whose
+    pid is dead is stale and ignored."""
+    import sys
+    waited = 0
+    while os.path.exists(lease) and waited < max_wait_s:
+        try:
+            pid = open(lease).read().strip()
+        except OSError:
+            break
+        if pid and not os.path.exists(f'/proc/{pid}'):
+            print(f'ignoring stale TPU lease (pid {pid} dead)',
+                  file=sys.stderr)
+            break
+        if waited == 0:
+            print(f'waiting for TPU lease holder (pid {pid}, '
+                  f'max {max_wait_s}s)', file=sys.stderr)
+        time.sleep(30)
+        waited += 30
+
+
 def main():
+    _wait_for_tpu_lease()
     try:
         _probe_backend()
     except Exception as e:

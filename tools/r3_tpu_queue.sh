@@ -6,6 +6,12 @@ cd /root/repo
 LOG=/tmp/r3_queue.log
 echo "=== r3 TPU queue start $(date)" >> $LOG
 
+# take the single-chip lease (bench.py waits on it, bounded) so a
+# driver-launched bench.py mid-queue doesn't record a spurious
+# backend-unavailable null; released before our own final bench step
+echo $$ > /tmp/tpu_lease.lock
+trap 'rm -f /tmp/tpu_lease.lock' EXIT
+
 # the host has ONE CPU: a concurrently-running pytest suite starves TPU
 # dispatch and corrupts the numbers (~2x, CLAUDE.md). tests/conftest.py
 # writes its pid to this lock at session start and removes it at session
@@ -58,6 +64,7 @@ python tools/epf_ab_r3.py --nepoch 600 --k 10 --mode dispatch \
   > results/epd_ab_r3.json 2>>$LOG
 echo "epf_ab dispatch rc=$?" >> $LOG
 
+rm -f /tmp/tpu_lease.lock   # everything after this is bench itself
 echo "--- bench.py sanity" >> $LOG
 python bench.py > /tmp/bench_r3.json 2>>$LOG
 echo "bench rc=$?" >> $LOG
