@@ -1,0 +1,160 @@
+"""Serving/export path: AOT artifacts round-trip and match the live model.
+
+The reference has no serving story (raw state_dict checkpoints needing the
+full source tree); serving.py is the TPU-native production addition. These
+tests pin: exported == live model (same seed), serialize/deserialize/file
+round-trip, symbolic-batch artifacts, MC reduction, forecast-horizon
+export, and the run-dir/CLI wiring."""
+
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_gp_ode_tpu.models.odegpvae import init_model
+from vae_gp_ode_tpu.training.trainer import create_train_state
+from vae_gp_ode_tpu.training import checkpoint as ckpt
+from vae_gp_ode_tpu import serving
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+T, IMG = 4, 28
+
+
+@pytest.fixture(scope='module')
+def tiny():
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(3), latent_dim=3, n_filt=4, num_features=16,
+        num_inducing=8, batch=2, T=T, img=IMG)
+    X = jax.random.uniform(jax.random.PRNGKey(5), (3, T, 1, IMG, IMG))
+    return model, variables, gp, X
+
+
+def test_exported_matches_live_model(tiny):
+    model, variables, gp, X = tiny
+    fn = serving.make_forecast_fn(model, variables, gp, L=2)
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=X.shape[0], L=2)
+    live = fn(X, jnp.int32(11))
+    served = exported.call(X, jnp.int32(11))
+    assert served.shape == (2, 3, T, 1, IMG, IMG)
+    np.testing.assert_allclose(np.asarray(served), np.asarray(live),
+                               atol=1e-6)
+    # deterministic in the seed, different across seeds
+    again = exported.call(X, jnp.int32(11))
+    np.testing.assert_array_equal(np.asarray(served), np.asarray(again))
+    other = exported.call(X, jnp.int32(12))
+    assert np.abs(np.asarray(served) - np.asarray(other)).max() > 1e-6
+
+
+def test_file_roundtrip(tiny, tmp_path):
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=X.shape[0], L=1)
+    path = str(tmp_path / 'fc.jaxexport')
+    nbytes = serving.save_forecaster(exported, path)
+    assert nbytes == os.path.getsize(path)
+    fc = serving.load_forecaster(path)
+    np.testing.assert_array_equal(np.asarray(fc(X, seed=7)),
+                                  np.asarray(exported.call(X, jnp.int32(7))))
+    assert fc.input_shape[1:] == (T, 1, IMG, IMG)
+
+
+def test_multi_platform_artifact(tiny):
+    """One artifact lowered for cpu AND tpu (export box != serving box)."""
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T, batch=3,
+                                         L=1, platforms=('cpu', 'tpu'))
+    assert set(exported.platforms) == {'cpu', 'tpu'}
+    fc = serving.Forecaster(exported)
+    assert fc(X, seed=0).shape == (1, 3, T, 1, IMG, IMG)
+
+
+def test_symbolic_batch_serves_any_n(tiny):
+    model, variables, gp, _ = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=None, L=1)
+    fn = serving.make_forecast_fn(model, variables, gp, L=1)
+    for n in (1, 4):
+        Xn = jax.random.uniform(jax.random.PRNGKey(n), (n, T, 1, IMG, IMG))
+        out = exported.call(Xn, jnp.int32(0))
+        assert out.shape == (1, n, T, 1, IMG, IMG)
+        np.testing.assert_allclose(np.asarray(out),
+                                   np.asarray(fn(Xn, jnp.int32(0))),
+                                   atol=1e-5)
+
+
+def test_mc_reduce_and_forecast_horizon(tiny):
+    model, variables, gp, X = tiny
+    full = serving.export_forecaster(model, variables, gp, T=T,
+                                     batch=X.shape[0], L=3)
+    mean = serving.export_forecaster(model, variables, gp, T=T,
+                                     batch=X.shape[0], L=3,
+                                     mc_reduce='mean')
+    got = mean.call(X, jnp.int32(2))
+    assert got.shape == (3, T, 1, IMG, IMG)
+    np.testing.assert_allclose(
+        np.asarray(got),
+        np.asarray(full.call(X, jnp.int32(2))).mean(axis=0), atol=1e-6)
+
+    # forecast 2T frames from T input frames (reference rollout protocol)
+    roll = serving.export_forecaster(model, variables, gp, T=T,
+                                     batch=X.shape[0], L=1, T_custom=2 * T)
+    assert roll.call(X, jnp.int32(0)).shape == (1, 3, 2 * T, 1, IMG, IMG)
+
+    with pytest.raises(ValueError):
+        serving.make_forecast_fn(model, variables, gp, mc_reduce='median')
+
+
+def _write_run_dir(tmp_path, model, variables, gp):
+    """Synthesise a training run dir (args.json + checkpoint) the way
+    main.py leaves one behind."""
+    state, _ = create_train_state(model, variables, gp)
+    run = tmp_path / 'run'
+    run.mkdir()
+    ckpt.save_checkpoint(state, str(run / 'odegpvae_mnist.ckpt'))
+    args = dict(latent_dim=3, n_filt=4, ode=1, frames=5, dt=0.1,
+                solver='euler', ts_dense_scale=1, num_features=16,
+                num_inducing=8, kernel='RBF', q_diag=False, dimwise=True,
+                D_in=3, D_out=3, T=T, seed=0, pretrained=False)
+    (run / 'args.json').write_text(json.dumps(args))
+    return run
+
+
+def test_export_run_dir(tiny, tmp_path):
+    model, variables, gp, X = tiny
+    run = _write_run_dir(tmp_path, model, variables, gp)
+    out = str(tmp_path / 'run.jaxexport')
+    exported, nbytes = serving.export_run_dir(str(run), out, L=1, batch=3)
+    assert nbytes == os.path.getsize(out)
+    fc = serving.load_forecaster(out)
+    served = fc(X, seed=4)
+    # the run dir holds the same weights the fixture exports directly
+    direct = serving.export_forecaster(model, variables, gp, T=T, batch=3,
+                                       L=1).call(X, jnp.int32(4))
+    np.testing.assert_allclose(np.asarray(served), np.asarray(direct),
+                               atol=1e-6)
+
+
+@pytest.mark.slow
+def test_serving_cli(tiny, tmp_path):
+    model, variables, gp, X = tiny
+    run = _write_run_dir(tmp_path, model, variables, gp)
+    out = str(tmp_path / 'cli.jaxexport')
+    r = subprocess.run(
+        [sys.executable, '-m', 'vae_gp_ode_tpu.serving', '--device', 'cpu',
+         '--model_path', str(run), '--out', out, '--L', '1', '--Troll', '2',
+         '--mc_reduce', 'mean'],
+        cwd=REPO, capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, r.stderr[-2000:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info['bytes'] == os.path.getsize(out)
+    fc = serving.load_forecaster(out)
+    # symbolic batch (default --batch 0) + 2x forecast horizon + MC mean
+    for n in (2, 5):
+        Xn = jax.random.uniform(jax.random.PRNGKey(n), (n, T, 1, IMG, IMG))
+        assert fc(Xn, seed=1).shape == (n, 2 * T, 1, IMG, IMG)
