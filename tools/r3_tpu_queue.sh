@@ -64,6 +64,10 @@ python tools/epf_ab_r3.py --nepoch 600 --k 10 --mode dispatch \
   > results/epd_ab_r3.json 2>>$LOG
 echo "epf_ab dispatch rc=$?" >> $LOG
 
+echo "--- serving-path bench (AOT artifact vs live jit)" >> $LOG
+python tools/serving_bench_r3.py > results/serving_bench_r3.json 2>>$LOG
+echo "serving_bench rc=$?" >> $LOG
+
 rm -f /tmp/tpu_lease.lock   # everything after this is bench itself
 echo "--- bench.py sanity" >> $LOG
 python bench.py > /tmp/bench_r3.json 2>>$LOG
