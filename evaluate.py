@@ -15,7 +15,6 @@ checkpoint.
 
 import argparse
 import json
-import types
 import os
 
 import numpy as np
@@ -86,34 +85,17 @@ def compute_mse_std(model, state, loader, L, key):
 def evaluate_one(args, model_path):
     import jax
     from vae_gp_ode_tpu.data.mnist import load_data
-    from vae_gp_ode_tpu.models.odegpvae import init_model
-    from vae_gp_ode_tpu.training.trainer import (
-        create_train_state, make_eval_step)
-    from vae_gp_ode_tpu.training import checkpoint as ckpt
+    from vae_gp_ode_tpu.serving import load_run_dir
+    from vae_gp_ode_tpu.training.trainer import make_eval_step
     from vae_gp_ode_tpu.utils import plotting
 
-    with open(os.path.join(model_path, 'args.json')) as f:
-        ta = types.SimpleNamespace(**json.load(f))
+    # serving.load_run_dir rebuilds (model, restored state) from
+    # args.json + checkpoint, incl. the frozen-VAE opt_state template
+    model, state, ta = load_run_dir(model_path)
 
     trainset, testset = load_data(ta)
     if args.batch:
         testset.batch_size = args.batch
-
-    model, variables, gp = init_model(
-        jax.random.PRNGKey(0), latent_dim=ta.latent_dim, n_filt=ta.n_filt,
-        order=ta.ode, frames=ta.frames, dt=ta.dt, solver=ta.solver,
-        dense=getattr(ta, 'ts_dense_scale', 1),
-        num_features=ta.num_features, num_inducing=ta.num_inducing,
-        kernel=ta.kernel, q_diag=ta.q_diag, dimwise=ta.dimwise,
-        D_in=ta.D_in, D_out=ta.D_out, batch=2, T=ta.T)
-    # a run trained with --pretrained (frozen VAE) carries a different
-    # opt_state structure (set_to_zero for the VAE params instead of
-    # Adam moments); the restore template must match the saved one
-    state, _ = create_train_state(
-        model, variables, gp,
-        freeze_vae=bool(getattr(ta, 'pretrained', False)))
-    state = ckpt.restore_checkpoint(
-        os.path.join(model_path, 'odegpvae_mnist.ckpt'), like=state)
 
     key = jax.random.PRNGKey(ta.seed + 1)
     mse_mean, mse_std = compute_mse_std(model, state, testset, args.L, key)
