@@ -88,6 +88,22 @@ def test_symbolic_batch_serves_any_n(tiny):
                                    atol=1e-5)
 
 
+def test_normalize_input_baked_in(tiny):
+    """normalize_input=True artifacts take raw [0,1] pixels and apply the
+    training normalisation in-graph (reference data/utils.py:12-15)."""
+    from vae_gp_ode_tpu.data.mnist import MNIST_MEAN, MNIST_STD
+    model, variables, gp, X = tiny  # X is uniform [0,1) = raw pixels
+    raw = serving.export_forecaster(model, variables, gp, T=T,
+                                    batch=X.shape[0], L=1,
+                                    normalize_input=True)
+    norm = serving.export_forecaster(model, variables, gp, T=T,
+                                     batch=X.shape[0], L=1)
+    np.testing.assert_allclose(
+        np.asarray(raw.call(X, jnp.int32(5))),
+        np.asarray(norm.call((X - MNIST_MEAN) / MNIST_STD, jnp.int32(5))),
+        atol=1e-6)
+
+
 def test_mc_reduce_and_forecast_horizon(tiny):
     model, variables, gp, X = tiny
     full = serving.export_forecaster(model, variables, gp, T=T,

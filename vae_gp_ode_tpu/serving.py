@@ -44,11 +44,16 @@ _IMG = 28  # reference data is 28x28 rot-MNIST (SURVEY.md section 2 C13)
 
 
 def make_forecast_fn(model, variables, gp, *, L=1, T_custom=None,
-                     mc_reduce='none'):
+                     mc_reduce='none', normalize_input=False):
     """Close a trained (model, variables, gp) over a pure serving
     function ``fn(X, seed) -> Xrec``.
 
-    X: (N, T, 1, d, d) sequences in the model's input normalisation.
+    X: (N, T, 1, d, d) sequences in the model's input normalisation -
+    or raw [0,1] pixels with normalize_input=True, which bakes the
+    training normalisation ``(x - 0.1307)/0.3081`` (reference
+    data/utils.py:12-15) into the graph so serving callers never need
+    to know the constants. The decoder output is sigmoid (0,1) frames
+    either way.
     seed: int32 scalar; drives the z0 reparameterisation and the L
     pathwise GP function draws (the same in-forward randomness the
     reference draws from hidden global state, SURVEY.md section 7).
@@ -60,10 +65,13 @@ def make_forecast_fn(model, variables, gp, *, L=1, T_custom=None,
     """
     if mc_reduce not in ('none', 'mean'):
         raise ValueError(f'mc_reduce must be none|mean, got {mc_reduce!r}')
+    from vae_gp_ode_tpu.data.mnist import MNIST_MEAN, MNIST_STD
     var_consts = {'params': variables['params'],
                   'batch_stats': variables.get('batch_stats', {})}
 
     def fn(X, seed):
+        if normalize_input:
+            X = (X - MNIST_MEAN) / MNIST_STD
         key = jax.random.PRNGKey(seed)
         Xrec, _, _, _ = model.apply(var_consts, X, gp, key, L=L,
                                     T_custom=T_custom, train=False)
@@ -75,7 +83,8 @@ def make_forecast_fn(model, variables, gp, *, L=1, T_custom=None,
 
 
 def export_forecaster(model, variables, gp, *, T, img=_IMG, batch=None,
-                      L=1, T_custom=None, mc_reduce='none', platforms=None):
+                      L=1, T_custom=None, mc_reduce='none',
+                      normalize_input=False, platforms=None):
     """Export the forecaster as a ``jax.export.Exported``.
 
     batch: serving batch size; None exports a symbolic batch dimension
@@ -87,7 +96,8 @@ def export_forecaster(model, variables, gp, *, T, img=_IMG, batch=None,
     None lowers for the current default platform only.
     """
     fn = make_forecast_fn(model, variables, gp, L=L, T_custom=T_custom,
-                          mc_reduce=mc_reduce)
+                          mc_reduce=mc_reduce,
+                          normalize_input=normalize_input)
     if batch is None:
         batch, = jax_export.symbolic_shape('b')
     x_spec = jax.ShapeDtypeStruct((batch, T, 1, img, img), jnp.float32)
@@ -163,7 +173,8 @@ def load_run_dir(model_path):
 
 
 def export_run_dir(model_path, out_path, *, L=1, Troll=0, batch=None,
-                   mc_reduce='none', platforms=None):
+                   mc_reduce='none', normalize_input=False,
+                   platforms=None):
     """One-call export of a finished training run to a serving artifact.
 
     Troll > 0 exports a forecaster that integrates Troll*T steps from a
@@ -174,7 +185,8 @@ def export_run_dir(model_path, out_path, *, L=1, Troll=0, batch=None,
     T_custom = Troll * ta.T if Troll else None
     exported = export_forecaster(
         model, variables, state.gp, T=ta.T, batch=batch, L=L,
-        T_custom=T_custom, mc_reduce=mc_reduce, platforms=platforms)
+        T_custom=T_custom, mc_reduce=mc_reduce,
+        normalize_input=normalize_input, platforms=platforms)
     nbytes = save_forecaster(exported, out_path)
     return exported, nbytes
 
@@ -194,6 +206,9 @@ def _main():
                    help='serving batch size (0: symbolic - any batch)')
     p.add_argument('--mc_reduce', type=str, default='none',
                    choices=['none', 'mean'])
+    p.add_argument('--normalize_input', action='store_true',
+                   help='artifact takes raw [0,1] pixels and applies the '
+                        'training normalisation in-graph')
     p.add_argument('--platforms', type=str, nargs='*', default=None,
                    help="e.g. --platforms cpu tpu for a cross-platform "
                         "artifact (default: current platform only)")
@@ -204,7 +219,8 @@ def _main():
         jax.config.update('jax_platforms', a.device)
     exported, nbytes = export_run_dir(
         a.model_path, a.out, L=a.L, Troll=a.Troll, batch=a.batch or None,
-        mc_reduce=a.mc_reduce, platforms=a.platforms)
+        mc_reduce=a.mc_reduce, normalize_input=a.normalize_input,
+        platforms=a.platforms)
     print(json.dumps({
         'out': a.out, 'bytes': nbytes,
         'input_shape': [str(d) for d in exported.in_avals[0].shape],
