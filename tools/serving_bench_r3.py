@@ -45,9 +45,20 @@ variables = {'params': state.vae_params, 'batch_stats': state.batch_stats}
 
 live = jax.jit(serving.make_forecast_fn(model, variables, state.gp,
                                         L=args.L))
-exported = serving.export_forecaster(model, variables, state.gp, T=ta.T,
-                                     batch=args.batch, L=args.L)
-nbytes = len(exported.serialize())
+# the axon tunnel backend may register under a platform name jax.export
+# does not lower for; try native first, then an explicit tpu lowering,
+# and still report the live half if both fail
+exported, nbytes, export_error = None, 0, None
+for plats in (None, ('tpu',)):
+    try:
+        exported = serving.export_forecaster(
+            model, variables, state.gp, T=ta.T, batch=args.batch,
+            L=args.L, platforms=plats)
+        nbytes = len(exported.serialize())
+        break
+    except Exception as e:  # noqa: BLE001 - diagnostic bench, keep going
+        export_error = f'{type(e).__name__}: {e}'
+        exported = None
 
 X = jax.random.uniform(jax.random.PRNGKey(0),
                        (args.batch, ta.T, 1, 28, 28), jnp.float32)
@@ -69,13 +80,21 @@ def measure(fn):
 
 
 live_tp = measure(live)
-served_tp = measure(exported.call)
-print(json.dumps({
+out = {
     'metric': 'serving_fwd_seqs_per_sec',
     'live_seqs_per_sec': round(live_tp, 2),
-    'served_seqs_per_sec': round(served_tp, 2),
-    'ratio': round(served_tp / live_tp, 4),
     'batch': args.batch, 'L': args.L, 'T': ta.T,
-    'artifact_bytes': nbytes,
     'backend': jax.default_backend(),
-}))
+}
+if exported is not None:
+    try:
+        served_tp = measure(exported.call)
+        out.update(served_seqs_per_sec=round(served_tp, 2),
+                   ratio=round(served_tp / live_tp, 4),
+                   artifact_bytes=nbytes,
+                   platforms=list(exported.platforms))
+    except Exception as e:  # noqa: BLE001
+        out['export_error'] = f'call: {type(e).__name__}: {e}'
+else:
+    out['export_error'] = export_error
+print(json.dumps(out))
