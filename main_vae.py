@@ -45,9 +45,10 @@ parser.add_argument('--eps_guard', type=eval, default=True,
                          "reference's live unguarded objective (vae.py:147)")
 parser.add_argument('--fast_epoch', type=eval, default=True,
                     help='scan whole epochs on device (one dispatch per '
-                         'epoch instead of per step; drops a ragged tail '
-                         'batch when N %% batch != 0). False = the '
-                         'per-step reference loop')
+                         'epoch instead of per step; a ragged tail batch '
+                         'when N %% batch != 0 trains in one extra '
+                         'dispatch - every frame seen, drop_last=False '
+                         'parity). False = the per-step reference loop')
 
 
 def main():
