@@ -69,6 +69,8 @@ def main():
     import jax
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+    from vae_gp_ode_tpu.core.settings import enable_compilation_cache
+    enable_compilation_cache()
     from vae_gp_ode_tpu.models.odegpvae import init_model
     from vae_gp_ode_tpu.training.trainer import (
         create_train_state, make_train_step, make_train_epoch)

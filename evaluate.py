@@ -133,6 +133,8 @@ def main():
     import jax
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+    from vae_gp_ode_tpu.core.settings import enable_compilation_cache
+    enable_compilation_cache()
 
     if args.model_paths:
         # multi-checkpoint comparison (the notebooks' table protocol)

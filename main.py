@@ -231,6 +231,8 @@ def main():
     if args.device == 'cpu':
         # this jax build pins jax_platforms='axon,cpu'; honour --device cpu
         jax.config.update('jax_platforms', 'cpu')
+    from vae_gp_ode_tpu.core.settings import enable_compilation_cache
+    enable_compilation_cache()   # reuse compiled steps across restarts
     logger.info('JAX devices: %s', jax.devices())
 
     from vae_gp_ode_tpu.data.mnist import load_data

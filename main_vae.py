@@ -69,6 +69,8 @@ def main():
     import optax
     if args.device == 'cpu':
         jax.config.update('jax_platforms', 'cpu')
+    from vae_gp_ode_tpu.core.settings import enable_compilation_cache
+    enable_compilation_cache()
 
     from vae_gp_ode_tpu.data import mnist as dm
     from vae_gp_ode_tpu.models.vae import (

@@ -88,3 +88,36 @@ def test_plotting_smoke(tmp_path):
     plotting.plot_trace_vae(m1, m2, m3, str(tmp_path))
     assert (tmp_path / 'a.png').exists()
     assert (tmp_path / 'plots' / 'optimization_trace.png').exists()
+
+
+def test_compilation_cache_helper(tmp_path):
+    """enable_compilation_cache points XLA's persistent cache at a disk
+    dir (entries appear after a compile) and honours the env opt-out.
+    Subprocesses isolate the process-global jax config."""
+    import subprocess
+    import sys
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    prog = (
+        "import jax, os\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+        "jax.config.update('jax_persistent_cache_min_entry_size_bytes', 0)\n"
+        "from vae_gp_ode_tpu.core.settings import enable_compilation_cache\n"
+        "d = enable_compilation_cache()\n"
+        "import jax.numpy as jnp\n"
+        "jax.jit(lambda x: (x @ x).sum())(jnp.ones((32, 32)))\n"
+        "print('CACHE_DIR', d, len(os.listdir(d)) if d else -1)\n"
+    )
+    env = dict(os.environ, VGO_COMPILE_CACHE_DIR=str(tmp_path / 'xla'))
+    r = subprocess.run([sys.executable, '-c', prog], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.splitlines() if l.startswith('CACHE_DIR')][0]
+    _, d, n = line.split()
+    assert d == str(tmp_path / 'xla') and int(n) > 0
+
+    env['VGO_COMPILE_CACHE'] = '0'
+    r = subprocess.run([sys.executable, '-c', prog], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'CACHE_DIR None -1' in r.stdout

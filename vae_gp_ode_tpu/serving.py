@@ -217,6 +217,8 @@ def _main():
     a = p.parse_args()
     if a.device:
         jax.config.update('jax_platforms', a.device)
+    from vae_gp_ode_tpu.core.settings import enable_compilation_cache
+    enable_compilation_cache()
     exported, nbytes = export_run_dir(
         a.model_path, a.out, L=a.L, Troll=a.Troll, batch=a.batch or None,
         mc_reduce=a.mc_reduce, normalize_input=a.normalize_input,
