@@ -91,8 +91,9 @@ def test_plotting_smoke(tmp_path):
 
 
 def test_compilation_cache_helper(tmp_path):
-    """enable_compilation_cache points XLA's persistent cache at a disk
-    dir (entries appear after a compile) and honours the env opt-out.
+    """enable_compilation_cache populates a disk cache when forced,
+    no-ops on a pure-cpu platform config (XLA:CPU AOT reload trips
+    machine-feature mismatch errors) and honours the opt-out.
     Subprocesses isolate the process-global jax config."""
     import subprocess
     import sys
@@ -108,13 +109,21 @@ def test_compilation_cache_helper(tmp_path):
         "jax.jit(lambda x: (x @ x).sum())(jnp.ones((32, 32)))\n"
         "print('CACHE_DIR', d, len(os.listdir(d)) if d else -1)\n"
     )
-    env = dict(os.environ, VGO_COMPILE_CACHE_DIR=str(tmp_path / 'xla'))
+    env = dict(os.environ, VGO_COMPILE_CACHE_DIR=str(tmp_path / 'xla'),
+               VGO_COMPILE_CACHE='force')
     r = subprocess.run([sys.executable, '-c', prog], cwd=repo, env=env,
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     line = [l for l in r.stdout.splitlines() if l.startswith('CACHE_DIR')][0]
     _, d, n = line.split()
     assert d == str(tmp_path / 'xla') and int(n) > 0
+
+    # pure-cpu platform config without force -> disabled
+    env.pop('VGO_COMPILE_CACHE')
+    r = subprocess.run([sys.executable, '-c', prog], cwd=repo, env=env,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert 'CACHE_DIR None -1' in r.stdout
 
     env['VGO_COMPILE_CACHE'] = '0'
     r = subprocess.run([sys.executable, '-c', prog], cwd=repo, env=env,

@@ -28,19 +28,31 @@ def enable_compilation_cache():
     First compile of the full train step costs minutes over the axon
     tunnel (CLAUDE.md); the on-disk cache makes every later process
     (CLI restarts, bench tools, the driver's compile check) reuse the
-    compiled executable. No-op when VGO_COMPILE_CACHE=0; dir overridable
+    compiled executable. The cache is enabled only when the configured
+    platform is NOT pure-cpu: reloading XLA:CPU AOT results trips a
+    machine-feature canonicalisation mismatch on this host (E-level
+    'could lead to SIGILL' logs on every load, measured), and CPU
+    compiles are seconds anyway. VGO_COMPILE_CACHE: '0' = never,
+    'force' = even on cpu, default = non-cpu backends. Dir overridable
     via VGO_COMPILE_CACHE_DIR. Safe to call repeatedly. Best-effort: a
     backend that cannot serialize executables just skips the cache.
     """
     import os
-    if os.environ.get('VGO_COMPILE_CACHE', '1') == '0':
+    mode = os.environ.get('VGO_COMPILE_CACHE', '')
+    if mode == '0':
         return None
-    cache_dir = os.environ.get(
-        'VGO_COMPILE_CACHE_DIR',
-        os.path.join(os.path.expanduser('~'), '.cache', 'vae_gp_ode_tpu',
-                     'xla'))
     try:
         import jax
+        # read the *configured* platforms (no backend init): 'cpu' means
+        # CPU was explicitly forced (--device cpu / tests); the build's
+        # default 'axon,cpu' means the TPU path is intended
+        platforms = getattr(jax.config, 'jax_platforms', None) or ''
+        if platforms.strip().lower() == 'cpu' and mode != 'force':
+            return None
+        cache_dir = os.environ.get(
+            'VGO_COMPILE_CACHE_DIR',
+            os.path.join(os.path.expanduser('~'), '.cache',
+                         'vae_gp_ode_tpu', 'xla'))
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update('jax_compilation_cache_dir', cache_dir)
     except Exception:
