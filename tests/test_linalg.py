@@ -1,0 +1,88 @@
+"""core.linalg: portable pure-HLO Cholesky/triangular solves.
+
+The portable lowerings exist because LAPACK custom calls segfault when
+executed from a DESERIALIZED jax.export artifact in a fresh process on
+this jaxlib's CPU backend (the exporting process works - its in-process
+executable cache masks the bug). Parity against the LAPACK path here;
+the fresh-process regression lives in test_serving.py."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_gp_ode_tpu.core.linalg import (
+    cholesky, solve_triangular, portable_lowering, portable_mode,
+    _chol_unblocked, _solve_tri_unblocked)
+
+
+def _spd(key, m, batch=()):
+    a = jax.random.normal(key, batch + (m, m))
+    return a @ jnp.swapaxes(a, -1, -2) + m * jnp.eye(m)
+
+
+def test_portable_cholesky_matches_lapack():
+    A = _spd(jax.random.PRNGKey(0), 24)
+    np.testing.assert_allclose(np.asarray(_chol_unblocked(A)),
+                               np.asarray(jnp.linalg.cholesky(A)),
+                               rtol=1e-5, atol=1e-5)
+    # batched (the dimwise-RBF path factorises (D, M, M) at once)
+    Ab = _spd(jax.random.PRNGKey(1), 12, batch=(3,))
+    np.testing.assert_allclose(np.asarray(_chol_unblocked(Ab)),
+                               np.asarray(jnp.linalg.cholesky(Ab)),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize('lower', [True, False])
+def test_portable_solve_matches_lapack(lower):
+    key = jax.random.PRNGKey(2)
+    L = jnp.linalg.cholesky(_spd(key, 16))
+    T = L if lower else L.T
+    b = jax.random.normal(jax.random.PRNGKey(3), (16, 5))
+    got = _solve_tri_unblocked(T, b, lower)
+    want = jax.scipy.linalg.solve_triangular(T, b, lower=lower)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dispatch_follows_context():
+    """Outside the context the wrappers are the XLA-native primitives;
+    inside they are the scan lowerings (checked via the lowering text:
+    no lapack custom calls)."""
+    A = _spd(jax.random.PRNGKey(4), 8)
+    assert not portable_mode()
+    np.testing.assert_allclose(np.asarray(cholesky(A)),
+                               np.asarray(jnp.linalg.cholesky(A)),
+                               rtol=1e-6)
+    # positive control: the native CPU lowering DOES carry lapack custom
+    # calls (that is exactly what the portable mode exists to avoid).
+    # NOTE fresh lambdas: the mode is read at TRACE time, and jit caches
+    # traces per function object - re-jitting the same callable inside
+    # the context would reuse the cached non-portable trace.
+    hlo_native = jax.jit(lambda a: cholesky(a)).lower(A).as_text()
+    assert 'lapack' in hlo_native
+    with portable_lowering():
+        assert portable_mode()
+        hlo = jax.jit(lambda a: cholesky(a)).lower(A).as_text()
+        assert 'lapack' not in hlo
+        b = jnp.ones((8, 2))
+        hlo_s = jax.jit(
+            lambda t, c: solve_triangular(t, c, lower=True)).lower(
+                A, b).as_text()
+        assert 'lapack' not in hlo_s and 'trsm' not in hlo_s
+    assert not portable_mode()
+
+
+def test_portable_compute_nu_parity():
+    """The kernel pathwise-update solves give the same nu either way."""
+    from vae_gp_ode_tpu.gp.svgp import init_svgp_params, draw_fn_sample
+    key = jax.random.PRNGKey(5)
+    for kern in ('RBF', 'DF'):
+        gp = init_svgp_params(key, D_in=3, D_out=3, M=8, kernel=kern)
+        s_native = draw_fn_sample(gp, key, 16)
+        with portable_lowering():
+            s_portable = draw_fn_sample(gp, key, 16)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5),
+            s_native, s_portable)

@@ -157,6 +157,80 @@ def test_export_run_dir(tiny, tmp_path):
 
 
 @pytest.mark.slow
+def test_artifact_runs_in_fresh_process(tiny, tmp_path):
+    """REGRESSION: executing LAPACK custom calls from a deserialized
+    export segfaults this jaxlib's CPU backend in a fresh process (the
+    exporting process masks it via its in-process executable cache).
+    Artifacts trace Cholesky/solves as pure HLO (core/linalg.py), so a
+    process that only deserializes must materialise outputs fine."""
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=None, L=1)
+    art = str(tmp_path / 'fresh.jaxexport')
+    serving.save_forecaster(exported, art)
+    prog = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from vae_gp_ode_tpu import serving\n"
+        f"fc = serving.load_forecaster({art!r})\n"
+        "x = np.random.rand(2, %d, 1, %d, %d).astype('float32')\n"
+        "y = np.asarray(fc(x, seed=1))\n"
+        "assert np.isfinite(y).all()\n"
+        "print('FRESH OK', y.shape)\n" % (T, IMG, IMG))
+    r = subprocess.run([sys.executable, '-c', prog], cwd=REPO,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
+    assert 'FRESH OK' in r.stdout
+
+
+@pytest.mark.slow
+def test_http_server(tiny, tmp_path):
+    """tools/serve_http.py serves an exported artifact over HTTP with
+    only jax + stdlib: /health and /predict round-trip."""
+    import time
+    import urllib.request
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=None, L=1, mc_reduce='mean')
+    art = str(tmp_path / 'srv.jaxexport')
+    serving.save_forecaster(exported, art)
+    # port 0: the OS picks a free port; the server prints it as JSON
+    proc = subprocess.Popen(
+        [sys.executable, 'tools/serve_http.py', '--artifact', art,
+         '--port', '0', '--device', 'cpu'],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()
+        port = json.loads(line)['port']
+        base = f'http://127.0.0.1:{port}'
+        deadline = time.time() + 120
+        health = None
+        while time.time() < deadline:
+            try:
+                with urllib.request.urlopen(base + '/health', timeout=5) as r:
+                    health = json.loads(r.read())
+                break
+            except OSError:
+                time.sleep(0.5)
+        assert health and health['ok']
+        req = json.dumps({
+            'x': np.random.rand(2, T, 1, IMG, IMG).tolist(),
+            'seed': 3}).encode()
+        with urllib.request.urlopen(urllib.request.Request(
+                base + '/predict', data=req,
+                headers={'Content-Type': 'application/json'}),
+                timeout=600) as r:
+            out = json.loads(r.read())
+        assert out['shape'] == [2, T, 1, IMG, IMG]
+        y = np.asarray(out['y'])
+        assert np.isfinite(y).all() and 0.0 <= y.min() and y.max() <= 1.0
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
+
+
+@pytest.mark.slow
 def test_serving_cli(tiny, tmp_path):
     model, variables, gp, X = tiny
     run = _write_run_dir(tmp_path, model, variables, gp)

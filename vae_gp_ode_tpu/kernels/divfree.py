@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from vae_gp_ode_tpu.core.settings import JITTER
+from vae_gp_ode_tpu.core.linalg import cholesky, solve_triangular
 from vae_gp_ode_tpu.kernels.rbf import (
     RBFParams, RFFState, rbf_lengthscales, rbf_variance,
 )
@@ -171,10 +172,11 @@ def df_compute_nu(p: RBFParams, Ku, u_prior, u):
     """
     MD = Ku.shape[0]
     eye = jnp.eye(MD, dtype=Ku.dtype)
-    Lu = jnp.linalg.cholesky(Ku + eye * JITTER)
-    a = jax.scipy.linalg.solve_triangular(
+    # core.linalg wrappers: pure-HLO under serving export (portable mode)
+    Lu = cholesky(Ku + eye * JITTER)
+    a = solve_triangular(
         Lu, u_prior.reshape(MD)[:, None], lower=True)
-    nu = jax.scipy.linalg.solve_triangular(
+    nu = solve_triangular(
         Lu.T, u.reshape(MD)[:, None] - a, lower=False)
     return nu  # (MD, 1)
 

@@ -21,6 +21,7 @@ from flax import struct
 
 from vae_gp_ode_tpu.core.settings import JITTER
 from vae_gp_ode_tpu.core.transforms import softplus, invsoftplus
+from vae_gp_ode_tpu.core.linalg import cholesky, solve_triangular
 
 
 @struct.dataclass
@@ -181,18 +182,20 @@ def rbf_compute_nu(p: RBFParams, Ku, u_prior, u):
     """
     M = Ku.shape[-1]
     eye = jnp.eye(M, dtype=Ku.dtype)
-    Lu = jnp.linalg.cholesky(Ku + eye * JITTER)
+    # core.linalg wrappers: XLA/LAPACK-native normally, pure-HLO under
+    # serving export (portable_lowering) - see core/linalg.py
+    Lu = cholesky(Ku + eye * JITTER)
     if not p.dimwise:
-        a = jax.scipy.linalg.solve_triangular(Lu, u_prior, lower=True)
-        nu = jax.scipy.linalg.solve_triangular(Lu.T, u - a, lower=False)
+        a = solve_triangular(Lu, u_prior, lower=True)
+        nu = solve_triangular(Lu.T, u - a, lower=False)
         return nu  # (M, D_out)
     # dimwise: Ku (D, M, M); u_prior/u (M, D) -> per-dim column vectors
     up = u_prior.T[:, :, None]       # (D, M, 1)
     uu = u.T[:, :, None]             # (D, M, 1)
     solve = jax.vmap(
-        lambda L, b: jax.scipy.linalg.solve_triangular(L, b, lower=True))
+        lambda L, b: solve_triangular(L, b, lower=True))
     solve_t = jax.vmap(
-        lambda L, b: jax.scipy.linalg.solve_triangular(L.T, b, lower=False))
+        lambda L, b: solve_triangular(L.T, b, lower=False))
     a = solve(Lu, up)                # (D, M, 1)
     nu = solve_t(Lu, uu - a)         # (D, M, 1)
     return nu

@@ -20,11 +20,14 @@ into a serialized StableHLO artifact that
   * can be lowered for several platforms at once (e.g. export on a CPU
     build box, serve on TPU) via ``platforms=('cpu', 'tpu')``.
 
-The export traces the pure-XLA compute path (``ops.config.forced_jnp``):
-Pallas kernels are runtime-specialised TPU programs and do not belong in
-a portable serialized artifact; at the serving batch sizes that matter
-the whole-trajectory scan is XLA-fused anyway (RESULTS.md round-2 A/B:
-the train step is latency-floor-bound, and serving runs forward-only).
+The export traces a fully PORTABLE compute path: ``ops.config.forced_jnp``
+(Pallas kernels are runtime-specialised TPU programs and do not belong in
+a portable serialized artifact) plus ``core.linalg.portable_lowering``
+(LAPACK custom calls segfault when executed from a deserialized export on
+this jaxlib's CPU backend - Cholesky/triangular solves trace as pure-HLO
+substitutions instead). At the serving batch sizes that matter the
+whole-trajectory scan is XLA-fused anyway (RESULTS.md round-2 A/B: the
+train step is latency-floor-bound, and serving runs forward-only).
 
 CLI:  python -m vae_gp_ode_tpu.serving --model_path results/<run> \
           --out forecaster.jaxexport [--L 5] [--Troll 2] [--batch 0]
@@ -38,6 +41,7 @@ import jax
 import jax.numpy as jnp
 from jax import export as jax_export
 
+from vae_gp_ode_tpu.core.linalg import portable_lowering
 from vae_gp_ode_tpu.ops import config as ops_config
 
 _IMG = 28  # reference data is 28x28 rot-MNIST (SURVEY.md section 2 C13)
@@ -105,8 +109,12 @@ def export_forecaster(model, variables, gp, *, T, img=_IMG, batch=None,
     kwargs = {}
     if platforms is not None:
         kwargs['platforms'] = tuple(platforms)
-    # the traced body must take the portable jnp path (never pallas_call)
-    with ops_config.forced_jnp():
+    # the traced body must be fully portable: never pallas_call
+    # (runtime-specialised TPU programs), and never LAPACK custom calls -
+    # this jaxlib's CPU backend SEGFAULTS executing lapack_potrf/trsm
+    # from a DESERIALIZED export in a fresh process (core/linalg.py), so
+    # Cholesky/triangular solves trace as pure-HLO scan substitutions
+    with ops_config.forced_jnp(), portable_lowering():
         return jax_export.export(jax.jit(fn), **kwargs)(x_spec, seed_spec)
 
 
