@@ -73,6 +73,35 @@ def test_dispatch_follows_context():
     assert not portable_mode()
 
 
+def test_portable_cholesky_near_singular():
+    """REGRESSION: the trained DF gram (MD=600, jitter 1e-5) has pivots
+    around 2e-5 relative - smaller than a naive length-600 f32 summation
+    error - and the first portable implementation NaN'd on it where
+    LAPACK survived. The blocked two-level reduction + eps pivot floor
+    must factorise a rank-deficient-plus-jitter matrix without NaNs and
+    with a small residual."""
+    key = jax.random.PRNGKey(7)
+    B = jax.random.normal(key, (200, 40))
+    # rank 40 + jitter: pivots ~2.5e-5 relative, the DF-checkpoint
+    # conditioning class (at 1e-5 jitter/2.5e-7 relative even LAPACK
+    # fails - that regime is genuinely indefinite in f32)
+    A = B @ B.T + 1e-3 * jnp.eye(200)
+    L = _chol_unblocked(A)
+    assert np.isfinite(np.asarray(L)).all()
+    res = np.abs(np.asarray(L @ L.T - 0.5 * (A + A.T))).max()
+    res_native = np.abs(
+        np.asarray(jnp.linalg.cholesky(A) @ jnp.linalg.cholesky(A).T - A)
+    ).max()
+    # the blocked reduction must stay in LAPACK's error class (same
+    # order of magnitude; exact ordering flips with the configured
+    # matmul precision)
+    assert res <= res_native * 5, (res, res_native)
+    assert res < 1e-6 * float(jnp.abs(A).max()) * 200, res
+    # and the solves stay finite through the factor
+    x = _solve_tri_unblocked(L, jnp.ones((200, 2)), True)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_portable_compute_nu_parity():
     """The kernel pathwise-update solves give the same nu either way."""
     from vae_gp_ode_tpu.gp.svgp import init_svgp_params, draw_fn_sample

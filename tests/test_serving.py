@@ -185,6 +185,34 @@ def test_artifact_runs_in_fresh_process(tiny, tmp_path):
 
 
 @pytest.mark.slow
+def test_trained_df_artifact_fresh_process(tmp_path):
+    """REGRESSION: the shipped DF checkpoint's gram is near-singular
+    (MD=600, pivots ~2e-5 relative); the first portable Cholesky NaN'd
+    on it. The exported artifact must produce finite frames in a fresh
+    process."""
+    ckpt = os.path.join(REPO, 'checkpoints', 'df_5000ep')
+    if not os.path.isdir(ckpt):
+        pytest.skip('shipped checkpoint not present')
+    art = str(tmp_path / 'df.jaxexport')
+    serving.export_run_dir(ckpt, art, L=1, batch=2)
+    prog = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "import numpy as np\n"
+        "from vae_gp_ode_tpu import serving\n"
+        f"fc = serving.load_forecaster({art!r})\n"
+        "x = (np.random.RandomState(0).rand(2, 16, 1, 28, 28)"
+        ".astype('float32') - 0.1307) / 0.3081\n"
+        "y = np.asarray(fc(x, seed=2))\n"
+        "assert np.isfinite(y).all(), 'NaN in served frames'\n"
+        "print('DF FRESH OK')\n")
+    r = subprocess.run([sys.executable, '-c', prog], cwd=REPO,
+                       capture_output=True, text=True, timeout=420)
+    assert r.returncode == 0, (r.returncode, r.stderr[-2000:])
+    assert 'DF FRESH OK' in r.stdout
+
+
+@pytest.mark.slow
 def test_http_server(tiny, tmp_path):
     """tools/serve_http.py serves an exported artifact over HTTP with
     only jax + stdlib: /health and /predict round-trip."""

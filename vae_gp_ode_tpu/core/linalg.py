@@ -52,21 +52,51 @@ def portable_lowering():
         _tls.portable -= 1
 
 
+_F32_EPS = 1.1920929e-07  # np.finfo(np.float32).eps
+
+
+def _blocked_vecmat(v, Mat, bs=32):
+    """(K,) @ (K, R) with two-level (block + tree) summation.
+
+    A naive length-K f32 sum accumulates ~K*eps error; the trained DF
+    gram's smallest Cholesky pivots (~2e-5 relative at MD=600) are
+    SMALLER than that, so the Gram-update subtraction in the portable
+    factorisation must use a lower-error reduction: per-32-block sums
+    then a block-tree sum give ~(bs + K/bs)*eps - an order of magnitude
+    tighter, matching what SIMD-lane LAPACK/Eigen reductions achieve.
+    XLA keeps the two explicit reduces (no float reassociation)."""
+    K, R = Mat.shape
+    nb = -(-K // bs)
+    pad = nb * bs - K
+    if pad:
+        Mat = jnp.pad(Mat, ((0, pad), (0, 0)))
+        v = jnp.pad(v, (0, pad))
+    return (Mat.reshape(nb, bs, R) * v.reshape(nb, bs, 1)).sum(1).sum(0)
+
+
 def _chol_unblocked(A):
     """Left-looking unblocked Cholesky of an SPD matrix, pure HLO.
 
     scan over columns: column j needs only columns < j (already written;
-    columns >= j of the carry are still zero, so the full matmul
-    L @ L[j, :] sums exactly the k < j terms)."""
+    columns >= j of the carry are still zero, so the full contraction
+    with L[j, :] sums exactly the k < j terms). The input is symmetrised
+    (LAPACK reads one triangle; callers pass gram + jitter matrices that
+    can carry ~1e-4 asymmetry) and the pivot is floored at eps*|A_jj| so
+    a numerically-semidefinite direction degrades gracefully instead of
+    propagating NaNs."""
     if A.ndim > 2:
         return jax.vmap(_chol_unblocked)(A)
+    A = 0.5 * (A + A.T)
     M = A.shape[-1]
     idx = jnp.arange(M)
 
     def step(L, j):
         row_j = jnp.take(L, j, axis=0)           # (M,) cols < j live
-        s = jnp.take(A, j, axis=1) - L @ row_j   # (M,)
-        d = jnp.sqrt(jnp.take(s, j, axis=0))
+        col_a = jnp.take(A, j, axis=1)           # (M,)
+        s = col_a - _blocked_vecmat(row_j, L.T)  # (M,)
+        piv = jnp.take(s, j, axis=0)
+        floor = _F32_EPS * jnp.abs(jnp.take(col_a, j, axis=0))
+        d = jnp.sqrt(jnp.maximum(piv, floor))
         col = jnp.where(idx > j, s / d, jnp.zeros_like(s))
         col = jnp.where(idx == j, d, col)
         return L.at[:, j].set(col), None
@@ -78,7 +108,7 @@ def _chol_unblocked(A):
 def _solve_tri_unblocked(T, b, lower):
     """Forward/back substitution, pure HLO. T (M, M) triangular,
     b (M, K). Rows not yet solved are zero in the carry, so the full
-    row-matvec sums exactly the already-solved terms."""
+    row-contraction sums exactly the already-solved terms."""
     if T.ndim > 2:
         return jax.vmap(lambda t, c: _solve_tri_unblocked(t, c, lower))(T, b)
     M = T.shape[-1]
@@ -86,7 +116,7 @@ def _solve_tri_unblocked(T, b, lower):
 
     def step(x, j):
         t_row = jnp.take(T, j, axis=0)                 # (M,)
-        rhs = jnp.take(b, j, axis=0) - t_row @ x       # (K,)
+        rhs = jnp.take(b, j, axis=0) - _blocked_vecmat(t_row, x)   # (K,)
         xj = rhs / jnp.take(t_row, j, axis=0)
         return x.at[j].set(xj), None
 
