@@ -126,6 +126,26 @@ def test_mc_reduce_and_forecast_horizon(tiny):
         serving.make_forecast_fn(model, variables, gp, mc_reduce='median')
 
 
+@pytest.mark.parametrize('kwargs', [
+    dict(order=2),                          # velocity encoder path
+    dict(solver='dopri5', max_steps=64),    # adaptive bounded while_loop
+    dict(solver='adams', max_steps=64),     # VCABM
+    dict(kernel='DF'),                      # matrix-valued kernel
+])
+def test_export_model_variants(kwargs):
+    """Every model configuration exports and serves: 2nd-order dynamics,
+    the adaptive solvers (bounded while_loops serialize), both kernels."""
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(1), latent_dim=3, n_filt=4, num_features=16,
+        num_inducing=8, batch=2, T=T, **kwargs)
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=2, L=1)
+    X = jax.random.uniform(jax.random.PRNGKey(2), (2, T, 1, IMG, IMG))
+    out = exported.call(X, jnp.int32(1))
+    assert out.shape == (1, 2, T, 1, IMG, IMG)
+    assert np.isfinite(np.asarray(out)).all()
+
+
 def _write_run_dir(tmp_path, model, variables, gp):
     """Synthesise a training run dir (args.json + checkpoint) the way
     main.py leaves one behind."""
