@@ -12,8 +12,16 @@ import numpy as np
 import pytest
 
 from vae_gp_ode_tpu.core.linalg import (
-    cholesky, solve_triangular, portable_lowering, portable_mode,
-    _chol_unblocked, _solve_tri_unblocked)
+    cholesky, solve, solve_triangular, portable_lowering, portable_mode,
+    _chol_unblocked, _solve_gj, _solve_tri_unblocked)
+
+
+def _lapack_custom_calls(mlir):
+    """LAPACK custom-call OPS - not a plain substring search: MLIR
+    location metadata can carry 'lapack' from Python function names
+    (this file's own test names) traced earlier in the process."""
+    return [l for l in mlir.splitlines()
+            if 'custom_call' in l and 'lapack' in l.lower()]
 
 
 def _spd(key, m, batch=()):
@@ -60,16 +68,18 @@ def test_dispatch_follows_context():
     # traces per function object - re-jitting the same callable inside
     # the context would reuse the cached non-portable trace.
     hlo_native = jax.jit(lambda a: cholesky(a)).lower(A).as_text()
-    assert 'lapack' in hlo_native
+    assert _lapack_custom_calls(hlo_native)
     with portable_lowering():
         assert portable_mode()
         hlo = jax.jit(lambda a: cholesky(a)).lower(A).as_text()
-        assert 'lapack' not in hlo
+        assert not _lapack_custom_calls(hlo)
         b = jnp.ones((8, 2))
         hlo_s = jax.jit(
             lambda t, c: solve_triangular(t, c, lower=True)).lower(
                 A, b).as_text()
-        assert 'lapack' not in hlo_s and 'trsm' not in hlo_s
+        assert not _lapack_custom_calls(hlo_s)
+        assert not [l for l in hlo_s.splitlines()
+                    if 'custom_call' in l and 'trsm' in l.lower()]
     assert not portable_mode()
 
 
@@ -100,6 +110,56 @@ def test_portable_cholesky_near_singular():
     # and the solves stay finite through the factor
     x = _solve_tri_unblocked(L, jnp.ones((200, 2)), True)
     assert np.isfinite(np.asarray(x)).all()
+
+
+def test_portable_general_solve_matches_lapack():
+    """The Gauss-Jordan solve (used by _newton_solve's non-SPD Jacobian
+    systems when tracing exports) matches jnp.linalg.solve, including
+    matrices that REQUIRE row pivoting (zero leading pivot)."""
+    A = jax.random.normal(jax.random.PRNGKey(8), (12, 12))
+    b = jax.random.normal(jax.random.PRNGKey(9), (12, 3))
+    np.testing.assert_allclose(np.asarray(_solve_gj(A, b)),
+                               np.asarray(jnp.linalg.solve(A, b)),
+                               rtol=1e-4, atol=1e-5)
+    # pivoting required: A[0, 0] == 0 (plain elimination would divide by 0)
+    Ap = A.at[0, 0].set(0.0)
+    np.testing.assert_allclose(np.asarray(_solve_gj(Ap, b)),
+                               np.asarray(jnp.linalg.solve(Ap, b)),
+                               rtol=1e-4, atol=1e-4)
+    # batched + vector rhs (the _newton_solve shape class: (N, D, D);
+    # jax >= 0.5 jnp.linalg.solve requires the explicit [..., None] form)
+    Ab = jax.random.normal(jax.random.PRNGKey(10), (5, 6, 6)) \
+        + 3.0 * jnp.eye(6)
+    bb = jax.random.normal(jax.random.PRNGKey(11), (5, 6))
+    got = _solve_gj(Ab, bb)
+    want = jnp.linalg.solve(Ab, bb[..., None])[..., 0]
+    assert got.shape == want.shape == (5, 6)
+    with portable_lowering():
+        np.testing.assert_allclose(np.asarray(solve(Ab, bb)),
+                                   np.asarray(want), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(solve(Ab, bb)), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
+    # dispatch: native outside the context, pure HLO inside
+    assert _lapack_custom_calls(
+        jax.jit(lambda a, c: solve(a, c)).lower(A, b).as_text())
+    with portable_lowering():
+        hlo = jax.jit(lambda a, c: solve(a, c)).lower(A, b).as_text()
+        assert not _lapack_custom_calls(hlo)
+
+
+def test_portable_cholesky_zero_diagonal_stays_finite():
+    """A PSD matrix with an exactly-zero row/col has A_jj = 0, where the
+    relative pivot floor eps*|A_jj| alone is 0 and the column scaling
+    0/0 would produce NaNs; the absolute tiny floor keeps the factor
+    finite (and exact on the nonzero block)."""
+    A = _spd(jax.random.PRNGKey(12), 6)
+    A = A.at[2, :].set(0.0).at[:, 2].set(0.0)
+    L = _chol_unblocked(A)
+    assert np.isfinite(np.asarray(L)).all()
+    np.testing.assert_allclose(np.asarray(L @ L.T), np.asarray(A),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_portable_compute_nu_parity():

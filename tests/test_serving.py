@@ -25,6 +25,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 T, IMG = 4, 28
 
 
+def _lapack_custom_calls(mlir):
+    """LAPACK custom-call OPS in an MLIR module - not a plain substring
+    search: location metadata can carry 'lapack' from unrelated Python
+    function names traced earlier in the process (e.g. a test named
+    *_matches_lapack)."""
+    return [l for l in mlir.splitlines()
+            if 'custom_call' in l and 'lapack' in l.lower()]
+
+
 @pytest.fixture(scope='module')
 def tiny():
     model, variables, gp = init_model(
@@ -65,13 +74,24 @@ def test_file_roundtrip(tiny, tmp_path):
 
 
 def test_multi_platform_artifact(tiny):
-    """One artifact lowered for cpu AND tpu (export box != serving box)."""
+    """One artifact lowered for cpu AND tpu (export box != serving box).
+    Multi-platform artifacts use the all-scan linalg arrangement: NO
+    LAPACK custom call may appear in ANY branch (a native cholesky in a
+    multi-platform module embeds the CPU LAPACK call alongside the TPU
+    lowering, and this jaxlib segfaults executing it from a deserialized
+    export - core/linalg.py)."""
     model, variables, gp, X = tiny
     exported = serving.export_forecaster(model, variables, gp, T=T, batch=3,
                                          L=1, platforms=('cpu', 'tpu'))
     assert set(exported.platforms) == {'cpu', 'tpu'}
+    assert not _lapack_custom_calls(exported.mlir_module())
     fc = serving.Forecaster(exported)
     assert fc(X, seed=0).shape == (1, 3, T, 1, IMG, IMG)
+    # a tpu-only export resolves the per-platform linalg branch
+    # statically to the native pure-HLO primitives: no lapack either
+    tpu_only = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=3, L=1, platforms=('tpu',))
+    assert not _lapack_custom_calls(tpu_only.mlir_module())
 
 
 def test_symbolic_batch_serves_any_n(tiny):
@@ -130,16 +150,25 @@ def test_mc_reduce_and_forecast_horizon(tiny):
     dict(order=2),                          # velocity encoder path
     dict(solver='dopri5', max_steps=64),    # adaptive bounded while_loop
     dict(solver='adams', max_steps=64),     # VCABM
+    dict(solver='bdf'),                     # implicit Newton (general solve)
     dict(kernel='DF'),                      # matrix-valued kernel
 ])
 def test_export_model_variants(kwargs):
     """Every model configuration exports and serves: 2nd-order dynamics,
-    the adaptive solvers (bounded while_loops serialize), both kernels."""
+    the adaptive solvers (bounded while_loops serialize), the implicit
+    bdf (whose Newton (D, D) solves must trace portably too - a plain
+    jnp.linalg.solve would bake lapack_getrf/trsm custom calls into the
+    artifact), both kernels. Every artifact must contain ZERO LAPACK
+    custom calls: executing one from a deserialized export segfaults this
+    jaxlib's CPU backend in a fresh process (core/linalg.py)."""
     model, variables, gp = init_model(
         jax.random.PRNGKey(1), latent_dim=3, n_filt=4, num_features=16,
         num_inducing=8, batch=2, T=T, **kwargs)
     exported = serving.export_forecaster(model, variables, gp, T=T,
                                          batch=2, L=1)
+    bad = _lapack_custom_calls(exported.mlir_module())
+    assert not bad, \
+        f'LAPACK custom call baked into artifact for {kwargs}: {bad[:2]}'
     X = jax.random.uniform(jax.random.PRNGKey(2), (2, T, 1, IMG, IMG))
     out = exported.call(X, jnp.int32(1))
     assert out.shape == (1, 2, T, 1, IMG, IMG)

@@ -130,3 +130,33 @@ def test_compilation_cache_helper(tmp_path):
                        capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, r.stderr[-2000:]
     assert 'CACHE_DIR None -1' in r.stdout
+
+
+def test_compilation_cache_disabled_on_cpu_fallback(tmp_path, monkeypatch):
+    """REGRESSION: when the axon tunnel is down, an 'axon,cpu' platform
+    config silently degrades to the CPU backend; the cache gate must read
+    the ACTUAL backend, not the configured string, or the run writes and
+    then reloads exactly the XLA:CPU AOT entries the gate exists to block
+    (machine-feature mismatch, 'could lead to SIGILL')."""
+    from unittest import mock
+    import jax
+    from vae_gp_ode_tpu.core.settings import enable_compilation_cache
+    monkeypatch.setenv('VGO_COMPILE_CACHE_DIR', str(tmp_path / 'xla'))
+    monkeypatch.delenv('VGO_COMPILE_CACHE', raising=False)
+    # simulate: configured for the TPU ('axon,cpu' passes the cheap
+    # pre-check) but the backend that actually came up is cpu
+    prior = jax.config.jax_compilation_cache_dir
+    try:
+        with mock.patch.object(type(jax.config), 'jax_platforms',
+                               'axon,cpu', create=True), \
+             mock.patch.object(jax, 'default_backend', return_value='cpu'):
+            assert enable_compilation_cache() is None
+            # same config with a real non-cpu backend -> enabled
+            with mock.patch.object(jax, 'default_backend',
+                                   return_value='tpu'):
+                assert enable_compilation_cache() == str(tmp_path / 'xla')
+    finally:
+        # the enabled branch sets process-global config; restore it so
+        # the rest of the (CPU) suite does not write/reload CPU AOT
+        # cache entries
+        jax.config.update('jax_compilation_cache_dir', prior)

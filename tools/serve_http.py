@@ -32,6 +32,12 @@ def make_handler(fc):
     import numpy as np
 
     class Handler(BaseHTTPRequestHandler):
+        # bound every socket read: a client that promises a large
+        # Content-Length and then stalls would otherwise block the
+        # single-threaded server inside rfile.read() forever, wedging
+        # /health and every later request
+        timeout = 30
+
         def _reply(self, code, obj):
             body = json.dumps(obj).encode()
             self.send_response(code)
@@ -55,17 +61,38 @@ def make_handler(fc):
                 return
             try:
                 n = int(self.headers.get('Content-Length', 0))
-                req = json.loads(self.rfile.read(n))
+                raw = self.rfile.read(n)
+            except OSError:
+                # the client never delivered its promised body (socket
+                # timeout); the connection is unusable - drop it
+                self.close_connection = True
+                return
+            try:
+                req = json.loads(raw)
                 x = np.asarray(req['x'], dtype=np.float32)
                 seed = int(req.get('seed', 0))
+            except Exception as e:  # malformed request -> client fault
+                self._reply(400, {'error': f'{type(e).__name__}: {e}'})
+                return
+            want = fc.input_shape  # symbolic dims (e.g. batch 'b') skipped
+            if len(x.shape) != len(want) or any(
+                    isinstance(w, int) and w != s
+                    for w, s in zip(want, x.shape)):
+                self._reply(400, {
+                    'error': f'x has shape {list(x.shape)}, artifact '
+                             f'expects {[str(d) for d in want]}'})
+                return
+            try:
                 t0 = time.perf_counter()
                 y = np.asarray(fc(x, seed=seed))
                 ms = (time.perf_counter() - t0) * 1e3
                 self._reply(200, {'y': y.tolist(),
                                   'shape': list(y.shape),
                                   'ms': round(ms, 2)})
-            except Exception as e:  # noqa: BLE001 - surface to the client
-                self._reply(400, {'error': f'{type(e).__name__}: {e}'})
+            except Exception as e:  # noqa: BLE001 - execution fault (e.g.
+                # artifact/platform mismatch, bad shape for the compiled
+                # program) -> server-side error class
+                self._reply(500, {'error': f'{type(e).__name__}: {e}'})
 
         def log_message(self, fmt, *a):
             print(f'[serve_http] {fmt % a}', file=sys.stderr)

@@ -64,37 +64,52 @@ X = jax.random.uniform(jax.random.PRNGKey(0),
                        (args.batch, ta.T, 1, 28, 28), jnp.float32)
 
 
-def measure(fn):
-    # warm up + compile, then fetch-forced timing (a scalar fetch per
-    # rep proves completion over the axon tunnel)
-    float(jnp.sum(fn(X, jnp.int32(0))))
-    best = 0.0
-    for trial in range(args.best_of):
-        t0 = time.perf_counter()
-        acc = 0.0
-        for r in range(args.reps):
-            acc += float(jnp.sum(fn(X, jnp.int32(r))))
-        dt = time.perf_counter() - t0
-        best = max(best, args.reps * args.batch / dt)
-    return best
+def _timed(fn, reps):
+    # fetch-forced timing: a scalar fetch per rep proves completion over
+    # the axon tunnel (block_until_ready lies there, CLAUDE.md)
+    t0 = time.perf_counter()
+    for r in range(reps):
+        float(jnp.sum(fn(X, jnp.int32(r))))
+    return reps * args.batch / (time.perf_counter() - t0)
 
 
-live_tp = measure(live)
+# INTERLEAVED protocol (same rationale as bench_variants.py --ab): the
+# tunnel drifts ~±30% run-to-run, and a phase of per-call dispatches can
+# degrade programs launched AFTER it in the same process (CLAUDE.md) -
+# so both programs are compiled/launched up-front and each best-of round
+# times live then served back-to-back; the ratio is the median of
+# per-round ratios, which cancels both effects.
+served_call = None
+if exported is not None:
+    try:
+        float(jnp.sum(exported.call(X, jnp.int32(0))))  # compile + launch
+        served_call = exported.call
+    except Exception as e:  # noqa: BLE001
+        export_error = f'call: {type(e).__name__}: {e}'
+float(jnp.sum(live(X, jnp.int32(0))))                   # compile + launch
+
+live_best, served_best, ratios = 0.0, 0.0, []
+for trial in range(args.best_of):
+    lt = _timed(live, args.reps)
+    live_best = max(live_best, lt)
+    if served_call is not None:
+        st = _timed(served_call, args.reps)
+        served_best = max(served_best, st)
+        ratios.append(st / lt)
+
 out = {
     'metric': 'serving_fwd_seqs_per_sec',
-    'live_seqs_per_sec': round(live_tp, 2),
+    'live_seqs_per_sec': round(live_best, 2),
     'batch': args.batch, 'L': args.L, 'T': ta.T,
     'backend': jax.default_backend(),
 }
-if exported is not None:
-    try:
-        served_tp = measure(exported.call)
-        out.update(served_seqs_per_sec=round(served_tp, 2),
-                   ratio=round(served_tp / live_tp, 4),
-                   artifact_bytes=nbytes,
-                   platforms=list(exported.platforms))
-    except Exception as e:  # noqa: BLE001
-        out['export_error'] = f'call: {type(e).__name__}: {e}'
+if served_call is not None:
+    ratios.sort()
+    out.update(served_seqs_per_sec=round(served_best, 2),
+               ratio=round(ratios[len(ratios) // 2], 4),
+               ratio_range=[round(ratios[0], 4), round(ratios[-1], 4)],
+               artifact_bytes=nbytes,
+               platforms=list(exported.platforms))
 else:
     out['export_error'] = export_error
 print(json.dumps(out))

@@ -11,10 +11,12 @@ process (measured: `exported.call` works in the exporting process, any
 fresh process dies in the custom call; TPU lowerings are pure HLO and
 unaffected). Serving artifacts must be runnable anywhere, so
 `serving.export_forecaster` traces under `portable_lowering()`, which
-swaps in unblocked scan-based implementations built ONLY from portable
-HLO ops (scan, scatter, matmul). At the model's sizes (one M=100 - or
-MD=600 DF - factorisation per GP function draw, once per trajectory) the
-sequential-scan cost is irrelevant next to the ODE integration.
+lowers per platform (`lax.platform_dependent`): the TPU branch keeps the
+XLA-native primitives (already pure HLO there), every other platform
+gets unblocked scan-based implementations built ONLY from portable HLO
+ops (scan, scatter, matmul). At the model's sizes (one M=100 - or MD=600
+DF - factorisation per GP function draw, once per trajectory) the
+sequential-scan cost on CPU is irrelevant next to the ODE integration.
 
 The portable implementations are exact algorithm twins of the reference
 semantics (same f32 arithmetic order as the textbook left-looking
@@ -36,23 +38,43 @@ def portable_mode():
 
 
 @contextlib.contextmanager
-def portable_lowering():
-    """Pin the pure-HLO linalg lowerings for the dynamic extent of the
+def portable_lowering(tpu_native=True):
+    """Pin the portable linalg lowerings for the dynamic extent of the
     context (thread-local, nestable) - used when tracing `jax.export`
     serving artifacts.
+
+    tpu_native=True (default, for SINGLE-platform exports): each wrapper
+    lowers per platform via `lax.platform_dependent` - the TPU branch
+    keeps the XLA-native primitive (pure HLO there, zero portability
+    tax on the serving chip), everything else gets the scan
+    implementation; single-platform lowering resolves the branch
+    statically so the unused one is never emitted.
+
+    tpu_native=False (for MULTI-platform artifacts): the scan
+    implementations lower unconditionally on every platform. In a
+    multi-platform module a native cholesky expands into per-platform
+    sub-branches that EMBED the CPU LAPACK custom call alongside the
+    TPU one; a fresh CPU process was verified to skip the dead branch
+    fine, but TPU-side compilation of a module carrying a lapack custom
+    call is unverifiable while the chip is tunnelled - all-scan is the
+    conservative arrangement that contains no custom call anywhere.
 
     The mode is read at TRACE time: jit caches traces per function
     object, so a callable already traced OUTSIDE the context keeps its
     native lowering - trace a fresh closure inside the context (as
     serving.export_forecaster does)."""
     _tls.portable = getattr(_tls, 'portable', 0) + 1
+    prev_native = getattr(_tls, 'tpu_native', True)
+    _tls.tpu_native = bool(tpu_native) and prev_native
     try:
         yield
     finally:
         _tls.portable -= 1
+        _tls.tpu_native = prev_native
 
 
-_F32_EPS = 1.1920929e-07  # np.finfo(np.float32).eps
+_F32_EPS = 1.1920929e-07   # np.finfo(np.float32).eps
+_F32_TINY = 1.1754944e-38  # np.finfo(np.float32).tiny (smallest normal)
 
 
 def _blocked_vecmat(v, Mat, bs=32):
@@ -95,7 +117,12 @@ def _chol_unblocked(A):
         col_a = jnp.take(A, j, axis=1)           # (M,)
         s = col_a - _blocked_vecmat(row_j, L.T)  # (M,)
         piv = jnp.take(s, j, axis=0)
-        floor = _F32_EPS * jnp.abs(jnp.take(col_a, j, axis=0))
+        # relative floor, with an absolute floor under it: eps*|A_jj| is 0
+        # when the diagonal entry is exactly 0 (a PSD matrix with a zero
+        # row/col) and d = 0 would turn the 0/0 below-diagonal entries
+        # into NaNs; tiny keeps them 0/sqrt(tiny) = 0
+        floor = jnp.maximum(_F32_EPS * jnp.abs(jnp.take(col_a, j, axis=0)),
+                            jnp.asarray(_F32_TINY, A.dtype))
         d = jnp.sqrt(jnp.maximum(piv, floor))
         col = jnp.where(idx > j, s / d, jnp.zeros_like(s))
         col = jnp.where(idx == j, d, col)
@@ -124,18 +151,101 @@ def _solve_tri_unblocked(T, b, lower):
     return x
 
 
+def _per_platform(native_fn, portable_fn, *args):
+    """Portable-mode lowering rule: TPU keeps the XLA-native primitive
+    (its lowering is pure HLO - no LAPACK exists there, so a serialized
+    artifact pays ZERO portability tax on the serving chip), every other
+    platform gets the scan implementation (on CPU the native primitive
+    is a LAPACK custom call, the segfault class; 'default' also covers
+    unknown plugin platforms safely). `lax.platform_dependent` resolves
+    the branch AT LOWERING TIME for single-platform exports (the dead
+    branch is not even emitted) and via an unbatched platform index for
+    multi-platform artifacts - verified: a deserialized cpu+tpu artifact
+    executes the scan branch on a fresh CPU process without touching the
+    tpu branch's custom call, and vmap preserves the cond (it only
+    converts cond->select for BATCHED predicates)."""
+    if not getattr(_tls, 'tpu_native', True):
+        return portable_fn(*args)
+    return jax.lax.platform_dependent(*args, tpu=native_fn,
+                                      default=portable_fn)
+
+
 def cholesky(A):
-    """Lower Cholesky factor; portable scan lowering under
-    `portable_lowering()`, XLA-native otherwise. Batched like
-    jnp.linalg.cholesky."""
+    """Lower Cholesky factor; portable per-platform lowering under
+    `portable_lowering()` (TPU native / scan elsewhere), XLA-native
+    otherwise. Batched like jnp.linalg.cholesky."""
     if portable_mode():
-        return _chol_unblocked(A)
+        return _per_platform(jnp.linalg.cholesky, _chol_unblocked, A)
     return jnp.linalg.cholesky(A)
 
 
 def solve_triangular(T, b, lower=True):
-    """Triangular solve T x = b; portable substitution under
-    `portable_lowering()`, LAPACK/XLA-native otherwise."""
+    """Triangular solve T x = b; portable per-platform lowering under
+    `portable_lowering()` (TPU native / substitution elsewhere),
+    LAPACK/XLA-native otherwise."""
     if portable_mode():
-        return _solve_tri_unblocked(T, b, lower)
+        return _per_platform(
+            lambda t, c: jax.scipy.linalg.solve_triangular(t, c,
+                                                           lower=lower),
+            lambda t, c: _solve_tri_unblocked(t, c, lower), T, b)
     return jax.scipy.linalg.solve_triangular(T, b, lower=lower)
+
+
+def _solve_gj(A, b):
+    """General square solve via Gauss-Jordan elimination with partial
+    pivoting, pure HLO (scan + gather/scatter). A (..., M, M),
+    b (..., M) or (..., M, K), batched like jnp.linalg.solve.
+
+    Used for the (D, D) Newton systems in the implicit solvers
+    (dynamics/solvers.py `_newton_solve`): those Jacobians are not SPD,
+    so the Cholesky path above does not apply, and `jnp.linalg.solve`
+    lowers to LAPACK getrf/trsm custom calls on CPU - the exact class
+    that segfaults from a deserialized export."""
+    vec = b.ndim == A.ndim - 1
+    if vec:
+        b = b[..., None]
+    if A.ndim > 2:
+        bshape = jnp.broadcast_shapes(A.shape[:-2], b.shape[:-2])
+        A2 = jnp.broadcast_to(A, bshape + A.shape[-2:])
+        b2 = jnp.broadcast_to(b, bshape + b.shape[-2:])
+        A2 = A2.reshape((-1,) + A.shape[-2:])
+        b2 = b2.reshape((-1,) + b.shape[-2:])
+        out = jax.vmap(_solve_gj)(A2, b2)
+        out = out.reshape(bshape + out.shape[-2:])
+        return out[..., 0] if vec else out
+    M = A.shape[-1]
+    Ab = jnp.concatenate([A, b.astype(A.dtype)], axis=1)   # (M, M+K)
+    rows = jnp.arange(M)
+
+    def step(Ab, j):
+        col = jnp.take(Ab, j, axis=1)                      # (M,)
+        mag = jnp.where(rows >= j, jnp.abs(col), -jnp.inf)
+        p = jnp.argmax(mag)                                # pivot row
+        row_j = jnp.take(Ab, j, axis=0)
+        row_p = jnp.take(Ab, p, axis=0)
+        Ab = Ab.at[j].set(row_p).at[p].set(row_j)          # swap (p==j ok)
+        piv = jnp.take(row_p, j, axis=0)
+        piv = jnp.where(piv == 0, jnp.asarray(_F32_TINY, Ab.dtype), piv)
+        pivot_row = row_p / piv                            # (M+K,)
+        factors = jnp.where(rows == j, 0.0, jnp.take(Ab, j, axis=1))
+        Ab = Ab - factors[:, None] * pivot_row[None, :]
+        Ab = Ab.at[j].set(pivot_row)
+        return Ab, None
+
+    Ab, _ = jax.lax.scan(step, Ab, rows)
+    x = Ab[:, M:]
+    return x[..., 0] if vec else x
+
+
+def solve(A, b):
+    """General square solve A x = b; pure-HLO Gauss-Jordan with partial
+    pivoting under `portable_lowering()`, jnp.linalg.solve (LAPACK
+    getrf/trsm custom calls on CPU) otherwise. Batched like
+    jnp.linalg.solve, plus the batched-vector form b (..., M) with
+    matching batch dims (treated as a stack of 1-D solves on both
+    paths; jax >= 0.5 rejects it as ambiguous in jnp.linalg.solve)."""
+    if b.ndim == A.ndim - 1 and A.ndim > 2:
+        return solve(A, b[..., None])[..., 0]
+    if portable_mode():
+        return _per_platform(jnp.linalg.solve, _solve_gj, A, b)
+    return jnp.linalg.solve(A, b)

@@ -28,14 +28,20 @@ def enable_compilation_cache():
     First compile of the full train step costs minutes over the axon
     tunnel (CLAUDE.md); the on-disk cache makes every later process
     (CLI restarts, bench tools, the driver's compile check) reuse the
-    compiled executable. The cache is enabled only when the configured
-    platform is NOT pure-cpu: reloading XLA:CPU AOT results trips a
+    compiled executable. The cache is enabled only when the ACTUAL
+    backend is not CPU: reloading XLA:CPU AOT results trips a
     machine-feature canonicalisation mismatch on this host (E-level
     'could lead to SIGILL' logs on every load, measured), and CPU
-    compiles are seconds anyway. VGO_COMPILE_CACHE: '0' = never,
-    'force' = even on cpu, default = non-cpu backends. Dir overridable
-    via VGO_COMPILE_CACHE_DIR. Safe to call repeatedly. Best-effort: a
-    backend that cannot serialize executables just skips the cache.
+    compiles are seconds anyway. The configured-platform string alone
+    is not enough - when the axon tunnel is down, 'axon,cpu' configs
+    silently FALL BACK to the CPU backend, which must not write/reload
+    CPU AOT entries either - so after the cheap config check this
+    resolves `jax.default_backend()` (initialising the backend; every
+    caller is a CLI/bench entry about to use the device anyway).
+    VGO_COMPILE_CACHE: '0' = never, 'force' = even on cpu, default =
+    non-cpu backends. Dir overridable via VGO_COMPILE_CACHE_DIR. Safe to
+    call repeatedly. Best-effort: a backend that cannot serialize
+    executables just skips the cache.
     """
     import os
     mode = os.environ.get('VGO_COMPILE_CACHE', '')
@@ -43,11 +49,15 @@ def enable_compilation_cache():
         return None
     try:
         import jax
-        # read the *configured* platforms (no backend init): 'cpu' means
-        # CPU was explicitly forced (--device cpu / tests); the build's
-        # default 'axon,cpu' means the TPU path is intended
+        # cheap pre-check on the *configured* platforms (no backend
+        # init): 'cpu' means CPU was explicitly forced (--device cpu /
+        # tests) - never initialise a backend in those flows
         platforms = getattr(jax.config, 'jax_platforms', None) or ''
         if platforms.strip().lower() == 'cpu' and mode != 'force':
+            return None
+        # the authoritative check: what backend actually came up (an
+        # 'axon,cpu' config degrades to cpu when the tunnel is down)
+        if jax.default_backend() == 'cpu' and mode != 'force':
             return None
         cache_dir = os.environ.get(
             'VGO_COMPILE_CACHE_DIR',

@@ -38,6 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.flatten_util import ravel_pytree
 
+from vae_gp_ode_tpu.core import linalg
 from vae_gp_ode_tpu.dynamics.solvers import odeint
 
 _FIXED = ('euler', 'midpoint', 'rk4')
@@ -172,7 +173,7 @@ def _adj_bwd(f, method, dense, rtol, atol, max_steps, res, bars):
                 M = eye[None] - c_f * h * jnp.swapaxes(J, -1, -2)
                 rhs_a = jnp.where(hp, (4.0 / 3.0) * a
                                   - (1.0 / 3.0) * a_prev, a)
-                a_new = jnp.linalg.solve(M, rhs_a[..., None])[..., 0]
+                a_new = linalg.solve(M, rhs_a[..., None])[..., 0]
 
                 # trapezoidal quadrature for the parameter cotangent
                 q0 = q_theta(t_old, z, a)

@@ -29,6 +29,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from vae_gp_ode_tpu.core import linalg
+
 
 FIXED_STEP_SOLVERS = (
     'euler', 'midpoint', 'rk4', 'explicit_adams', 'fixed_adams', 'bdf',
@@ -90,7 +92,11 @@ def _newton_solve(g, z_init, iters=6):
     def body(_, z):
         r = g(z)                      # (N, D)
         J = jac(z)                    # (N, D, D)
-        dz = jnp.linalg.solve(J, r[..., None])[..., 0]
+        # core.linalg.solve: pure-HLO Gauss-Jordan when tracing a serving
+        # export (jnp.linalg.solve lowers to LAPACK getrf/trsm custom
+        # calls on CPU, which segfault from a deserialized artifact -
+        # core/linalg.py), the XLA-native solve otherwise
+        dz = linalg.solve(J, r[..., None])[..., 0]
         best_z = z
         best_rn = jnp.sum(r * r, axis=-1)          # (N,)
         for alpha in (1.0, 0.5, 0.25):

@@ -112,9 +112,13 @@ def export_forecaster(model, variables, gp, *, T, img=_IMG, batch=None,
     # the traced body must be fully portable: never pallas_call
     # (runtime-specialised TPU programs), and never LAPACK custom calls -
     # this jaxlib's CPU backend SEGFAULTS executing lapack_potrf/trsm
-    # from a DESERIALIZED export in a fresh process (core/linalg.py), so
-    # Cholesky/triangular solves trace as pure-HLO scan substitutions
-    with ops_config.forced_jnp(), portable_lowering():
+    # from a DESERIALIZED export in a fresh process (core/linalg.py).
+    # Single-platform exports lower linalg per platform (TPU keeps its
+    # native pure-HLO primitives, CPU gets the scan substitutions);
+    # multi-platform artifacts use the all-scan arrangement so no
+    # custom call appears in ANY branch (see portable_lowering)
+    single = platforms is None or len(tuple(platforms)) <= 1
+    with ops_config.forced_jnp(), portable_lowering(tpu_native=single):
         return jax_export.export(jax.jit(fn), **kwargs)(x_spec, seed_spec)
 
 
