@@ -69,6 +69,12 @@ parser.add_argument('--dimwise', type=eval, default=True)
 parser.add_argument('--variance', type=float, default=0.7)
 parser.add_argument('--lengthscale', type=float, default=2.0)
 parser.add_argument('--q_diag', type=eval, default=False)
+parser.add_argument('--fix_kernel', type=eval, default=False,
+                    help="freeze the kernel hyperparameters (lengthscales"
+                         " + variance) during optimisation - the"
+                         " reference's initialize_and_fix_kernel_"
+                         "parameters(fix=True) capability"
+                         " (initialization.py:19-21)")
 
 # ode solver arguments (reference main.py:75-88)
 parser.add_argument('--ode', type=int, default=1)
@@ -310,7 +316,8 @@ def main():
                     args.vae_path)
 
     state, tx = create_train_state(model, variables, gp, lr=args.lr,
-                                   freeze_vae=args.pretrained)
+                                   freeze_vae=args.pretrained,
+                                   fix_kernel=args.fix_kernel)
     if args.pretrained:
         # device-side equality check: ONE boolean fetch per epoch instead
         # of one fetch per parameter leaf (each costs a tunnel round-trip)

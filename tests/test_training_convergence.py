@@ -105,3 +105,32 @@ def test_epoch_cost_analysis_counts_scan_body_once():
         cs = cs[0]
     assert f2 == pytest.approx(float(cs['flops']), rel=0.01), (
         'epoch lowering cost should equal one train_step lowering cost')
+
+
+def test_fix_kernel_freezes_hyperparameters():
+    """--fix_kernel replicates the reference's
+    initialize_and_fix_kernel_parameters(fix=True) capability
+    (initialization.py:19-21: requires_grad_(False) on the kernel
+    lengthscales/variance; the paper's fixed-hyperparameter DF runs,
+    e.g. plots_dynamics_extended.ipynb odegpvae_ode1_df_fixed): kernel
+    hyperparameters stay bit-identical while every other parameter
+    group still trains."""
+    model, variables, gp = init_model(
+        jax.random.PRNGKey(0), latent_dim=3, n_filt=4, num_features=16,
+        num_inducing=8, batch=4, T=4)
+    state, tx = create_train_state(model, variables, gp, fix_kernel=True)
+    step = make_train_step(model, tx, num_observations=16.0)
+    X = jax.random.uniform(jax.random.PRNGKey(1), (4, 4, 1, 28, 28))
+    X = (X - 0.1307) / 0.3081
+    s = state
+    for i in range(2):
+        s, _ = step(s, X, jax.random.PRNGKey(i), 1)
+    assert np.array_equal(state.gp.kernel.unconstrained_lengthscales,
+                          s.gp.kernel.unconstrained_lengthscales)
+    assert np.array_equal(state.gp.kernel.unconstrained_variance,
+                          s.gp.kernel.unconstrained_variance)
+    assert not np.array_equal(state.gp.Um, s.gp.Um)
+    assert not np.array_equal(state.gp.inducing_loc, s.gp.inducing_loc)
+    vae_moved = not all(np.array_equal(a, b) for a, b in zip(
+        jax.tree.leaves(state.vae_params), jax.tree.leaves(s.vae_params)))
+    assert vae_moved

@@ -178,7 +178,8 @@ def load_run_dir(model_path):
         D_in=ta.D_in, D_out=ta.D_out, batch=2, T=ta.T)
     state, _ = create_train_state(
         model, variables, gp,
-        freeze_vae=bool(getattr(ta, 'pretrained', False)))
+        freeze_vae=bool(getattr(ta, 'pretrained', False)),
+        fix_kernel=bool(getattr(ta, 'fix_kernel', False)))
     state = ckpt.restore_checkpoint(
         os.path.join(model_path, 'odegpvae_mnist.ckpt'), like=state)
     return model, state, ta

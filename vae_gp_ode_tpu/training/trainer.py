@@ -34,14 +34,34 @@ class TrainState:
 
 def create_train_state(model, variables, gp: SVGPParams, lr=1e-3,
                        optimizer: Optional[optax.GradientTransformation] = None,
-                       freeze_vae: bool = False):
+                       freeze_vae: bool = False, fix_kernel: bool = False):
     """Build TrainState + optimizer over (vae_params, gp) jointly
     (reference main.py:194: single Adam param group, lr 1e-3).
 
     freeze_vae replicates the pretrained-VAE path (reference
     main.py:157-171): VAE gradients are zeroed, GP still trains.
-    """
+
+    fix_kernel freezes the kernel hyperparameters (lengthscales +
+    variance) during optimisation - the reference's
+    `initialize_and_fix_kernel_parameters(..., fix=True)`
+    (initialization.py:19-21 sets requires_grad_(False); its active
+    call site passes fix=False, but the capability is part of the
+    surface and the paper's fixed-hyperparameter DF runs use it, e.g.
+    plots_dynamics_extended.ipynb's `odegpvae_ode1_df_fixed`). The
+    incoming kernel-leaf gradients are zeroed BEFORE the optimizer, so
+    Adam's moments stay exactly zero for those leaves - the same
+    trajectory torch produces with requires_grad=False."""
     tx = optimizer if optimizer is not None else optax.adam(lr)
+    if fix_kernel:
+        def _kernel_mask(params):
+            vae_p, gp_p = params
+            gp_m = jax.tree.map(lambda _: False, gp_p)
+            gp_m = gp_m.replace(kernel=gp_m.kernel.replace(
+                unconstrained_lengthscales=True,
+                unconstrained_variance=True))
+            return (jax.tree.map(lambda _: False, vae_p), gp_m)
+        tx = optax.chain(optax.masked(optax.set_to_zero(), _kernel_mask),
+                         tx)
     if freeze_vae:
         tx = optax.multi_transform(
             {'vae': optax.set_to_zero(), 'gp': tx},
