@@ -68,9 +68,30 @@ echo "--- serving-path bench (AOT artifact vs live jit)" >> $LOG
 python tools/serving_bench_r3.py > results/serving_bench_r3.json 2>>$LOG
 echo "serving_bench rc=$?" >> $LOG
 
-rm -f /tmp/tpu_lease.lock   # everything after this is bench itself
 echo "--- bench.py sanity" >> $LOG
+rm -f /tmp/tpu_lease.lock   # bench waits on the lease itself
 python bench.py > /tmp/bench_r3.json 2>>$LOG
 echo "bench rc=$?" >> $LOG
 cat /tmp/bench_r3.json >> $LOG
+echo $$ > /tmp/tpu_lease.lock   # retake for the optional extras below
+
+# OPTIONAL (after all headline measurements): fixed-kernel DF quality
+# row - the plots_dynamics_extended.ipynb 'odegpvae_ode1_df_fixed'
+# variant (kernel hyperparams frozen at the CLI init values via the
+# round-3 --fix_kernel flag); appends to the quality table jsonl.
+echo "--- fixed-kernel DF retrain (extended-notebook variant)" >> $LOG
+timeout 9000 python main.py --Nepoch 5000 --plot_freq 1000 \
+  --log_freq 10000 --kernel DF --fix_kernel True \
+  --save results/df_fixed_kernel \
+  > results/df_fixed_kernel_train.log 2>&1
+echo "df_fixed train rc=$?" >> $LOG
+RUNDIR=$(ls -dt results/df_fixed_kernel_*/ 2>/dev/null | head -1)
+if [ -n "$RUNDIR" ]; then
+  timeout 1200 python evaluate.py --model_path "$RUNDIR" --L 5 \
+    2> results/df_fixed_kernel_eval.log | tail -1 \
+    | sed 's/^{/{"config": "df_fixed_kernel", /' \
+    >> results/quality_table_r2.jsonl
+  echo "df_fixed eval rc=$?" >> $LOG
+fi
+rm -f /tmp/tpu_lease.lock
 echo "=== r3 TPU queue done $(date)" >> $LOG
