@@ -124,6 +124,29 @@ def test_normalize_input_baked_in(tiny):
         atol=1e-6)
 
 
+def test_bf16_serving_artifact(tiny):
+    """dtype='bf16' artifacts run the conv-dominated encoder/decoder in
+    half precision (MXU-native on TPU) with f32 dynamics and f32 output
+    frames; reconstructions stay within a few bf16 ulps of the f32
+    artifact."""
+    model, variables, gp, X = tiny
+    f32 = serving.export_forecaster(model, variables, gp, T=T,
+                                    batch=X.shape[0], L=1)
+    b16 = serving.export_forecaster(model, variables, gp, T=T,
+                                    batch=X.shape[0], L=1, dtype='bf16')
+    yf = np.asarray(f32.call(X, jnp.int32(3)))
+    yb = np.asarray(b16.call(X, jnp.int32(3)))
+    assert yb.dtype == np.float32
+    assert np.isfinite(yb).all()
+    # sigmoid-range frames: a few bf16 ulps (2^-8 ~ 0.004) of drift
+    assert np.abs(yf - yb).max() < 0.05, np.abs(yf - yb).max()
+    # bf16 must actually change the compute (not silently f32)
+    assert np.abs(yf - yb).max() > 0.0
+    assert 'bf16' in b16.mlir_module()   # half-precision ops in the module
+    with pytest.raises(ValueError):
+        serving.make_forecast_fn(model, variables, gp, dtype='fp8')
+
+
 def test_mc_reduce_and_forecast_horizon(tiny):
     model, variables, gp, X = tiny
     full = serving.export_forecaster(model, variables, gp, T=T,

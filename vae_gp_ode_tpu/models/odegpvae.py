@@ -48,16 +48,23 @@ class ODEGPVAE(nn.Module):
     # (None = single-device; parallel.shard_dp clones the model with the
     # mesh axis so BatchNorm statistics psum over the data shards -
     # exactly the single-device global-batch semantics)
+    dtype: 'jnp.dtype | None' = None  # VAE compute dtype (params stay
+    # f32; None = exact pre-dtype behavior). bf16 serving runs the
+    # conv-dominated encoder/decoder on the MXU's native half precision
+    # while the GP/ODE dynamics stay f32: encode() upcasts the latent
+    # statistics before the reparameterisation, so z0/ts/trajectories
+    # are full precision regardless.
 
     def setup(self):
         self.encoder = Encoder(self.latent_dim, self.n_filt, frames=1,
-                               bn_axis=self.bn_axis)
+                               bn_axis=self.bn_axis, dtype=self.dtype)
         self.decoder = Decoder(self.latent_dim, self.n_filt,
-                               bn_axis=self.bn_axis)
+                               bn_axis=self.bn_axis, dtype=self.dtype)
         if self.order == 2:
             self.encoder_v = Encoder(self.latent_dim, self.n_filt,
                                      frames=self.frames,
-                                     bn_axis=self.bn_axis)
+                                     bn_axis=self.bn_axis,
+                                     dtype=self.dtype)
 
     def encode(self, X, key, train: bool = True, reparam_noise=None,
                train_v=None):
@@ -81,6 +88,12 @@ class ODEGPVAE(nn.Module):
         """
         x0 = jnp.transpose(X[:, 0], (0, 2, 3, 1))        # NHWC (N,d,d,1)
         s0_mu, s0_logv = self.encoder(x0, train)
+        if self.dtype is not None:
+            # half-precision VAE compute, full-precision dynamics: the
+            # latent statistics (and everything downstream - z0, ts, the
+            # GP trajectories) run f32
+            s0_mu = s0_mu.astype(jnp.float32)
+            s0_logv = s0_logv.astype(jnp.float32)
         k_s, k_v = jax.random.split(key)
         noise_s, noise_v = (reparam_noise if reparam_noise is not None
                             else (None, None))
@@ -95,6 +108,9 @@ class ODEGPVAE(nn.Module):
             xv = jnp.transpose(X[:, :self.frames, 0], (0, 2, 3, 1))
             v0_mu, v0_logv = self.encoder_v(
                 xv, train if train_v is None else train_v)
+            if self.dtype is not None:
+                v0_mu = v0_mu.astype(jnp.float32)
+                v0_logv = v0_logv.astype(jnp.float32)
             if noise_v is not None:
                 v0 = v0_mu + jnp.exp(0.5 * v0_logv) * noise_v
             else:

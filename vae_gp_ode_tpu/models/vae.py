@@ -30,6 +30,9 @@ class Encoder(nn.Module):
     n_filt: int = 8
     frames: int = 1   # input channels (velocity encoder stacks frames)
     bn_axis: 'str | None' = None  # shard_map axis for global-batch BN
+    dtype: 'jnp.dtype | None' = None  # compute dtype (params stay f32);
+    # None = flax default (promote from inputs+params) - bit-identical
+    # to the pre-dtype behavior. bf16 serving sets jnp.bfloat16.
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -39,18 +42,23 @@ class Encoder(nn.Module):
         """
         nf = self.n_filt
         pad = ((2, 2), (2, 2))
-        x = nn.Conv(nf, (5, 5), strides=2, padding=pad)(x)          # 14x14
+        x = nn.Conv(nf, (5, 5), strides=2, padding=pad,
+                    dtype=self.dtype)(x)                            # 14x14
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis)(x)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(nf * 2, (5, 5), strides=2, padding=pad)(x)      # 7x7
+        x = nn.Conv(nf * 2, (5, 5), strides=2, padding=pad,
+                    dtype=self.dtype)(x)                            # 7x7
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis)(x)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype)(x)
         x = nn.relu(x)
-        x = nn.Conv(nf * 4, (5, 5), strides=2, padding=pad)(x)      # 4x4
+        x = nn.Conv(nf * 4, (5, 5), strides=2, padding=pad,
+                    dtype=self.dtype)(x)                            # 4x4
         x = nn.relu(x)
         x = x.reshape((x.shape[0], -1))                             # (N, 512)
-        z = nn.Dense(2 * self.latent_dim)(x)
+        z = nn.Dense(2 * self.latent_dim, dtype=self.dtype)(x)
         mu, logvar = jnp.split(z, 2, axis=-1)
         return mu, logvar
 
@@ -59,6 +67,7 @@ class Decoder(nn.Module):
     latent_dim: int = 16
     n_filt: int = 8
     bn_axis: 'str | None' = None  # shard_map axis for global-batch BN
+    dtype: 'jnp.dtype | None' = None  # compute dtype (see Encoder.dtype)
 
     @nn.compact
     def __call__(self, z, train: bool = True):
@@ -68,29 +77,33 @@ class Decoder(nn.Module):
         """
         nf = self.n_filt
         h_dim = nf * 4 ** 3
-        s = nn.Dense(h_dim)(z)
+        s = nn.Dense(h_dim, dtype=self.dtype)(z)
         s = s.reshape((-1, 4, 4, h_dim // 16))                      # (B,4,4,32)
 
         def tpad(k, p, op=0):
             return ((k - 1 - p, k - 1 - p + op),) * 2
 
         s = nn.ConvTranspose(nf * 8, (3, 3), strides=(1, 1),
-                             padding=tpad(3, 0))(s)                 # 6x6
+                             padding=tpad(3, 0), dtype=self.dtype)(s)  # 6x6
         s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis)(s)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype)(s)
         s = nn.relu(s)
         s = nn.ConvTranspose(nf * 4, (5, 5), strides=(2, 2),
-                             padding=tpad(5, 1))(s)                 # 13x13
+                             padding=tpad(5, 1), dtype=self.dtype)(s)  # 13
         s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis)(s)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype)(s)
         s = nn.relu(s)
         s = nn.ConvTranspose(nf * 2, (5, 5), strides=(2, 2),
-                             padding=tpad(5, 1, op=1))(s)           # 28x28
+                             padding=tpad(5, 1, op=1),
+                             dtype=self.dtype)(s)                   # 28x28
         s = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-5, axis_name=self.bn_axis)(s)
+                         epsilon=1e-5, axis_name=self.bn_axis,
+                         dtype=self.dtype)(s)
         s = nn.relu(s)
         s = nn.ConvTranspose(1, (5, 5), strides=(1, 1),
-                             padding=tpad(5, 2))(s)                 # 28x28
+                             padding=tpad(5, 2), dtype=self.dtype)(s)  # 28
         return nn.sigmoid(s)
 
 
