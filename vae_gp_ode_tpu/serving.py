@@ -75,6 +75,16 @@ def make_forecast_fn(model, variables, gp, *, L=1, T_custom=None,
     returned frames stay float32 (models.odegpvae upcasts the latent
     statistics before the reparameterisation). Weights stay f32 in the
     artifact; only the compute dtype changes.
+
+    bf16 quality (measured on the shipped DF checkpoint): the damage
+    is accumulation-dtype, not operand rounding. With bf16 operands
+    and f32 accumulation - exactly what the TPU MXU does for a bf16
+    conv - test MSE is 0.0328 vs f32's 0.0326 (essentially free; a
+    per-layer ablation localised the sensitivity to the 13x13->28x28
+    ConvTranspose and an operand-round/accum-round split cleared the
+    operands). A CPU backend that accumulates bf16 convs in bf16
+    measured +0.008 MSE (0.0326 -> 0.0409) end-to-end: bf16 artifacts
+    are intended for TPU serving; prefer f32 for CPU targets.
     """
     if mc_reduce not in ('none', 'mean'):
         raise ValueError(f'mc_reduce must be none|mean, got {mc_reduce!r}')
