@@ -182,3 +182,102 @@ def test_conditional_q_diag_matches_full_chol():
     np.testing.assert_allclose(np.asarray(vd), np.asarray(vf),
                                rtol=1e-5, atol=1e-6)
     assert (np.asarray(vd) > 0).all()
+
+
+@pytest.mark.slow
+def test_df_conditional_matches_mc_and_oracle():
+    """DF exact conditional (the (M*D, M*D)-solve branch, VERDICT r3 #8).
+
+    Two checks. (1) MC mean consistency like the RBF test: the pathwise
+    prior has mean 0, so E[f(x)] over pathwise samples is the exact
+    conditional mean up to the whitening convention (kept whitened to
+    match the RBF branch and the reference formula; at init scales the
+    conventions differ well inside tolerance). The kernel variance is
+    shrunk so prior-dominated MC noise fits the tolerance; per-sample
+    std is still ~1.3 (the ORFF 5.5x inflation below), so at n=4096 the
+    MC se is ~0.02 and the 0.1 tolerance sits at ~5 se. (2) A dense
+    float64 oracle for mean AND variance - sharp, and what actually pins
+    the flattened (m*D + d) block layout.
+
+    MC *variance* consistency is NOT asserted: the reference's ORFF
+    feature map and its analytic DF gram are mutually inconsistent (the
+    prior draws have ~5.5x the gram's marginal variance - reference
+    kernels.py:319-374 vs :265-303; transcription parity is pinned in
+    test_kernels_df.py), so pathwise samples do not follow the exact
+    conditional's variance by the reference's own construction.
+    """
+    from vae_gp_ode_tpu.kernels import divfree as dfk
+    from vae_gp_ode_tpu.kernels import rbf as rbfk
+    p = svgp.init_svgp_params(jax.random.PRNGKey(20), D_in=3, D_out=3,
+                              M=6, kernel='DF')
+    p = p.replace(kernel=rbfk.init_rbf_params(
+        3, 3, dimwise=True, lengthscale=1.0, variance=0.1))
+    x = jax.random.normal(jax.random.PRNGKey(21), (4, 3)) * 0.5
+    mean, var = svgp.svgp_conditional(p, x)
+    assert mean.shape == (4, 3) and var.shape == (4, 3)
+    assert (np.asarray(var) > 0).all()
+
+    keys = jax.random.split(jax.random.PRNGKey(22), 4096)
+    fs = jax.jit(jax.vmap(
+        lambda k: svgp.fn_eval(p, svgp.draw_fn_sample(p, k, S=256), x)))(keys)
+    np.testing.assert_allclose(np.asarray(fs).mean(0), np.asarray(mean),
+                               atol=0.1)
+
+    # dense f64 oracle: whitened mean/var from the raw grams
+    Ku = np.asarray(dfk.df_gram(p.kernel, p.inducing_loc), np.float64)
+    Kuf = np.asarray(dfk.df_gram(p.kernel, p.inducing_loc, x), np.float64)
+    MD = Ku.shape[0]
+    Lu = np.linalg.cholesky(Ku + np.eye(MD) * 1e-5)
+    A = np.linalg.solve(Lu, Kuf)
+    m_vec = np.asarray(p.Um, np.float64).reshape(MD)
+    L_blk = np.zeros((MD, MD))
+    Ls = np.asarray(unpack_tril(p.Us_sqrt, p.M), np.float64)  # (D, M, M)
+    for d in range(3):
+        idx = np.arange(6) * 3 + d
+        L_blk[np.ix_(idx, idx)] = Ls[d]
+    S_w = L_blk @ L_blk.T
+    oracle_mean = (A.T @ m_vec).reshape(4, 3)
+    Kff = np.asarray(dfk.df_gram(p.kernel, x), np.float64)
+    oracle_var = (np.diagonal(Kff)
+                  + np.einsum('mn,mk,kn->n', A, S_w - np.eye(MD), A)
+                  ).reshape(4, 3)
+    np.testing.assert_allclose(np.asarray(mean), oracle_mean,
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(var), oracle_var,
+                               rtol=1e-4, atol=1e-6)
+
+    # full covariance: diagonal equals the marginals; symmetric PSD
+    _, cov = svgp.svgp_conditional(p, x, full_cov=True)
+    assert cov.shape == (12, 12)
+    np.testing.assert_allclose(np.diagonal(np.asarray(cov)),
+                               np.asarray(var).reshape(-1), rtol=1e-4,
+                               atol=1e-6)
+    c = np.asarray(cov, dtype=np.float64)
+    np.testing.assert_allclose(c, c.T, atol=1e-5)
+    assert np.linalg.eigvalsh((c + c.T) / 2).min() > -1e-5
+
+
+def test_df_conditional_q_diag_matches_full_chol():
+    """DF conditional: a q_diag posterior and the equivalent full-Cholesky
+    posterior (diag embedding of the same scales) must agree - pins the
+    (S - I) A block application against the flattened layout."""
+    key = jax.random.PRNGKey(23)
+    pd = svgp.init_svgp_params(key, D_in=3, D_out=3, M=5, kernel='DF',
+                               q_diag=True)
+    new_us = jax.random.normal(jax.random.PRNGKey(24), pd.Us_sqrt.shape)
+    pd = pd.replace(Us_sqrt=new_us)
+
+    s = softplus(new_us.T)                                 # (D, M)
+    L_stack = jax.vmap(jnp.diag)(s)                        # (D, M, M)
+    packed = jnp.stack([pack_tril(L) for L in L_stack])
+    pf = svgp.init_svgp_params(key, D_in=3, D_out=3, M=5, kernel='DF',
+                               q_diag=False)
+    pf = pf.replace(Um=pd.Um, Us_sqrt=packed,
+                    inducing_loc=pd.inducing_loc, kernel=pd.kernel)
+
+    x = jax.random.normal(jax.random.PRNGKey(25), (4, 3))
+    md, vd = svgp.svgp_conditional(pd, x)
+    mf, vf = svgp.svgp_conditional(pf, x)
+    np.testing.assert_allclose(np.asarray(md), np.asarray(mf), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(vd), np.asarray(vf),
+                               rtol=1e-5, atol=1e-6)

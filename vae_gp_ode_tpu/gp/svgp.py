@@ -223,9 +223,12 @@ def svgp_conditional(p: SVGPParams, x, full_cov=False):
     deprecated torch API - this is a working equivalent for eval).
 
     Returns (mean (N, D), var (N, D) or (D, N, N) if full_cov).
+    DF kernel: full_cov returns the full (N*D, N*D) covariance - the
+    matrix-valued kernel correlates output dims, so the covariance does
+    not factor per-dim like the RBF case.
     """
     if p.kernel_name == 'DF':
-        raise NotImplementedError('exact conditional for DF kernel')
+        return _svgp_conditional_df(p, x, full_cov)
     dimwise = p.kernel.dimwise
     Z = p.inducing_loc
     M = p.M
@@ -268,4 +271,45 @@ def svgp_conditional(p: SVGPParams, x, full_cov=False):
         var = (Kff + delta).T                               # (N, D)
 
     mean = jnp.einsum('dmn,md->nd' if dimwise else 'mn,md->nd', A, p.Um)
+    return mean, var
+
+
+def _svgp_conditional_df(p: SVGPParams, x, full_cov=False):
+    """Exact conditional for the matrix-valued divergence-free kernel:
+    one (M*D, M*D) Cholesky solve (the working analog of the reference's
+    dead build_conditional, svpy.py:179-210, whose torch.cholesky call
+    could never handle the DF gram shapes).
+
+    Same whitened convention as the RBF branch (mean = A^T m,
+    Sigma = Kff + A^T (S - I) A with A = Lu^{-1} Kuf): q(u)'s covariance
+    is block-diagonal over output dims d with blocks L_d L_d^T, laid out
+    on the flattened inducing vector u[m*D + d] (the layout
+    df_compute_nu/df_gram use: points-major, dims fastest).
+
+    Returns (mean (N, D), var (N, D)); full_cov returns the full
+    (N*D, N*D) covariance (see svgp_conditional docstring).
+    """
+    Z = p.inducing_loc
+    M, D = p.M, p.D_out
+    MD = M * D
+    Ku = dfk.df_gram(p.kernel, Z)                        # (MD, MD)
+    Lu = jnp.linalg.cholesky(Ku + jnp.eye(MD, dtype=Ku.dtype) * JITTER)
+    Kuf = dfk.df_gram(p.kernel, Z, x)                    # (MD, N*D)
+    A = jax.scipy.linalg.solve_triangular(Lu, Kuf, lower=True)
+
+    if p.q_diag:
+        s2 = (softplus(p.Us_sqrt) ** 2).reshape(MD)      # (MD,) at m*D+d
+        B = (s2 - 1.0)[:, None] * A                      # (S - I) A
+    else:
+        Ls = _scale_tril(p)                              # (D, M, M)
+        Ad = jnp.transpose(A.reshape(M, D, -1), (1, 0, 2))   # (D, M, ND)
+        t = jnp.einsum('dnm,dnk->dmk', Ls, Ad)           # L_d^T A_d
+        SdA = jnp.einsum('dmn,dnk->dmk', Ls, t)          # L_d L_d^T A_d
+        B = jnp.transpose(SdA - Ad, (1, 0, 2)).reshape(MD, -1)
+
+    mean = (A.T @ p.Um.reshape(MD)[:, None]).reshape(x.shape[0], D)
+    if full_cov:
+        return mean, dfk.df_gram(p.kernel, x) + A.T @ B  # (ND, ND)
+    Kff_diag = jnp.diagonal(dfk.df_gram(p.kernel, x))    # (ND,)
+    var = (Kff_diag + jnp.sum(A * B, axis=0)).reshape(x.shape[0], D)
     return mean, var

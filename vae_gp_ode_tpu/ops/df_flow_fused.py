@@ -313,8 +313,8 @@ def _pallas_df_flow_bwd(zs, zsbar, omf, phf, G, Zt, nurT, ls2, var_row,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
-def packed_df_euler_flow(z0, omf, phf, G, Z, nur, ls2, var, dts, T,
-                         interpret=False):
+def _packed_df_euler_flow_f32(z0, omf, phf, G, Z, nur, ls2, var, dts, T,
+                              interpret=False):
     """Euler DF-GP-ODE flow: Pallas forward AND Pallas discrete-adjoint
     backward (both single kernels; grid-tiled above _SINGLE_BLOCK_N=128
     rows - half the RBF kernel's boundary, see the threshold comment at
@@ -343,4 +343,18 @@ def _pk_bwd(T, interpret, res, zsbar):
             varbar[0], dtsbar[:, 0])
 
 
-packed_df_euler_flow.defvjp(_pk_fwd, _pk_bwd)
+_packed_df_euler_flow_f32.defvjp(_pk_fwd, _pk_bwd)
+
+
+def packed_df_euler_flow(z0, omf, phf, G, Z, nur, ls2, var, dts, T,
+                         interpret=False):
+    """Euler DF-GP-ODE flow (see :func:`_packed_df_euler_flow_f32` for
+    the kernel semantics).
+
+    x64-proof entry: f64 operands are cast to f32 at this boundary
+    (Mosaic has no 64-bit lowering; see ops.f32cast) and the trajectory is
+    cast back to ``z0``'s dtype."""
+    from vae_gp_ode_tpu.ops.f32cast import f32_args
+    args, had64 = f32_args((z0, omf, phf, G, Z, nur, ls2, var, dts))
+    out = _packed_df_euler_flow_f32(*args, T, interpret)
+    return out.astype(z0.dtype) if had64 else out

@@ -299,10 +299,10 @@ def _pallas_backward(x, omf, phf, G, Z, nur, ls2, var, gout,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def fused_df_pathwise_eval(x, omf, phf, G, Z, nur, ls2, var,
-                           interpret=False):
-    """Pallas-fused forward AND backward for the DF pathwise eval. Same
-    semantics as :func:`df_pathwise_reference` (the parity oracle).
+def _fused_df_pathwise_eval_f32(x, omf, phf, G, Z, nur, ls2, var,
+                                interpret=False):
+    """Pallas-fused forward AND backward for the DF pathwise eval
+    (f32 operands only; see :func:`fused_df_pathwise_eval`).
 
     Large batches (N > 512) fall back to the jnp reference in BOTH
     directions: the single-block kernel materialises the (N, 2*S*D)
@@ -336,7 +336,21 @@ def _bwd(interpret, res, g):
     return _pallas_backward(*res, g, interpret=interpret)
 
 
-fused_df_pathwise_eval.defvjp(_fwd, _bwd)
+_fused_df_pathwise_eval_f32.defvjp(_fwd, _bwd)
+
+
+def fused_df_pathwise_eval(x, omf, phf, G, Z, nur, ls2, var,
+                           interpret=False):
+    """Pallas-fused forward AND backward for the DF pathwise eval. Same
+    semantics as :func:`df_pathwise_reference` (the parity oracle).
+
+    x64-proof entry: f64 operands are cast to f32 at this boundary
+    (Mosaic has no 64-bit lowering; see ops.f32cast) and the result is
+    cast back to ``x``'s dtype."""
+    from vae_gp_ode_tpu.ops.f32cast import f32_args
+    args, had64 = f32_args((x, omf, phf, G, Z, nur, ls2, var))
+    out = _fused_df_pathwise_eval_f32(*args, interpret)
+    return out.astype(x.dtype) if had64 else out
 
 
 def df_fused_operands(gp, sample, D):

@@ -505,11 +505,10 @@ def _pallas_flow_bwd(zs, zsbar, omf, phf, ws, Zb, zn, il2, nus, dts, T,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def packed_euler_flow(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T, order=1,
-                      interpret=False):
-    """Euler GP-ODE flow over packed operands with per-interval step
-    sizes dts (T-1,): Pallas forward AND Pallas discrete-adjoint backward
-    (both single kernels)."""
+def _packed_euler_flow_f32(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T,
+                           order=1, interpret=False):
+    """Euler GP-ODE flow over packed operands (f32 only; see
+    :func:`packed_euler_flow`)."""
     return _pallas_flow_packed(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T,
                                order, interpret=interpret)
 
@@ -530,7 +529,22 @@ def _pk_bwd(T, order, interpret, res, zsbar):
             dtsbar[:, 0])
 
 
-packed_euler_flow.defvjp(_pk_fwd, _pk_bwd)
+_packed_euler_flow_f32.defvjp(_pk_fwd, _pk_bwd)
+
+
+def packed_euler_flow(z0, omf, phf, ws, Zb, zn, il2, nus, dts, T, order=1,
+                      interpret=False):
+    """Euler GP-ODE flow over packed operands with per-interval step
+    sizes dts (T-1,): Pallas forward AND Pallas discrete-adjoint backward
+    (both single kernels).
+
+    x64-proof entry: f64 operands are cast to f32 at this boundary
+    (Mosaic has no 64-bit lowering; see ops.f32cast) and the trajectory is
+    cast back to ``z0``'s dtype."""
+    from vae_gp_ode_tpu.ops.f32cast import f32_args
+    args, had64 = f32_args((z0, omf, phf, ws, Zb, zn, il2, nus, dts))
+    out = _packed_euler_flow_f32(*args, T, order, interpret)
+    return out.astype(z0.dtype) if had64 else out
 
 
 def fused_euler_flow(z0, omega, phase, weights, Z, nu, ls, var, dt,
@@ -540,6 +554,12 @@ def fused_euler_flow(z0, omega, phase, weights, Z, nu, ls, var, dt,
     T and order are static; dt may be traced. Reverse mode: the packed
     flow has a hand-written Pallas discrete-adjoint backward; the operand
     packing (transposes/reshapes/scales only) is differentiated by XLA.
+
+    x64-proof entry: f64 operands are cast to f32 before the packing (the
+    kernel is an f32 program; see ops.f32cast), the trajectory cast back
+    to ``z0``'s dtype.
     """
-    return _pallas_flow(z0, omega, phase, weights, Z, nu, ls, var, dt, T,
-                        order, interpret=interpret)
+    from vae_gp_ode_tpu.ops.f32cast import f32_args
+    args, had64 = f32_args((z0, omega, phase, weights, Z, nu, ls, var, dt))
+    out = _pallas_flow(*args, T, order, interpret=interpret)
+    return out.astype(z0.dtype) if had64 else out

@@ -232,10 +232,9 @@ def _pallas_backward(x, omega, phase, weights, Z, nu, ls, var, g,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
-def fused_pathwise_eval(x, omega, phase, weights, Z, nu, ls, var,
-                        interpret=False):
-    """Pallas-fused forward AND backward. Same signature and semantics as
-    :func:`pathwise_eval_reference` (which remains the parity oracle)."""
+def _fused_pathwise_eval_f32(x, omega, phase, weights, Z, nu, ls, var,
+                             interpret=False):
+    """Pallas-fused forward AND backward (f32 operands only)."""
     return _pallas_forward(x, omega, phase, weights, Z, nu, ls, var,
                            interpret=interpret)
 
@@ -258,7 +257,23 @@ def _bwd(interpret, res, g):
     return _pallas_backward(*res, g, interpret=interpret)
 
 
-fused_pathwise_eval.defvjp(_fwd, _bwd)
+_fused_pathwise_eval_f32.defvjp(_fwd, _bwd)
+
+
+def fused_pathwise_eval(x, omega, phase, weights, Z, nu, ls, var,
+                        interpret=False):
+    """Pallas-fused forward AND backward. Same signature and semantics as
+    :func:`pathwise_eval_reference` (which remains the parity oracle).
+
+    x64-proof entry: f64 operands (e.g. under ``jax_enable_x64``) are cast
+    to f32 at this boundary - the kernel is an f32 program and Mosaic has
+    no 64-bit lowering (see ops.f32cast) - and the result is cast back to
+    ``x``'s dtype.
+    """
+    from vae_gp_ode_tpu.ops.f32cast import f32_args
+    args, had64 = f32_args((x, omega, phase, weights, Z, nu, ls, var))
+    out = _fused_pathwise_eval_f32(*args, interpret)
+    return out.astype(x.dtype) if had64 else out
 
 
 def rbf_fused_operands(gp, sample):
