@@ -17,6 +17,10 @@ import time
 BATCH, T, Q, M, S, L = 20, 16, 6, 100, 256, 1
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               '.bench_baseline.json')
+# v5e bf16 peak per chip (datasheet); the MFU denominator. The shipped
+# kernels force f32 accumulation, so bf16 peak is the conservative
+# (larger) denominator - stated explicitly per VERDICT r3 #5.
+V5E_BF16_PEAK_TFLOPS = 197.0
 
 
 def measure_jax_steps_per_sec(steps=20, warmup=3, reps=2):
@@ -251,11 +255,14 @@ def _probe_backend(timeout_s=600):
 def _wait_for_tpu_lease(lease='/tmp/tpu_lease.lock', max_wait_s=2700):
     """Only ONE process can hold the experimental axon chip - a second
     client blocks in backend init until it times out (measured during
-    round 3). Measurement scripts that hold the chip for a while (e.g.
-    tools/r3_tpu_queue.sh) write their pid to this lease file; wait for
-    it, bounded, so a bench launched mid-measurement records a real
-    number instead of a spurious backend-unavailable null. A lease whose
-    pid is dead is stale and ignored."""
+    round 3). Every measurement process (queue items via
+    tools/tpu_lease.sh, this bench via _take_tpu_lease below) writes its
+    pid to this lease file for the duration of ONE bounded item - round
+    3's whole-queue lease starved the driver bench into a null record
+    (VERDICT r3 #1); round 4's protocol is per-item. Wait for it,
+    bounded, so a bench launched mid-measurement records a real number
+    instead of a spurious backend-unavailable null. A lease whose pid is
+    dead is stale and ignored."""
     import sys
     waited = 0
     while os.path.exists(lease) and waited < max_wait_s:
@@ -274,8 +281,31 @@ def _wait_for_tpu_lease(lease='/tmp/tpu_lease.lock', max_wait_s=2700):
         waited += 30
 
 
+def _take_tpu_lease(lease='/tmp/tpu_lease.lock'):
+    """Hold the lease while THIS bench runs, so a queue item launched
+    mid-bench waits instead of colliding in backend init. Best-effort
+    (a lost race just degrades to the pre-round-4 behaviour)."""
+    try:
+        with open(lease, 'w') as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        return lambda: None
+
+    def release():
+        try:
+            with open(lease) as f:
+                if f.read().strip() == str(os.getpid()):
+                    os.remove(lease)
+        except OSError:
+            pass
+    return release
+
+
 def main():
     _wait_for_tpu_lease()
+    release_lease = _take_tpu_lease()
+    import atexit
+    atexit.register(release_lease)
     try:
         _probe_backend()
     except Exception as e:
@@ -322,6 +352,16 @@ def main():
                 if scan_sps_segment is not None else None),
             'achieved_model_tflops_per_sec': (
                 round(flops_per_step * scan_sps / 1e12, 4)
+                if flops_per_step else None),
+            # MFU vs bf16 chip peak (VERDICT r3 #5). Numerator is MODEL
+            # flops (XLA HLO cost analysis of the unoptimised lowering,
+            # fwd+bwd+Adam), not executed flops; the model is tiny and
+            # tunnel-latency-bound, so this is honestly small - see
+            # RESULTS.md for the chip-filling configurations.
+            'v5e_bf16_peak_tflops': V5E_BF16_PEAK_TFLOPS,
+            'mfu_vs_bf16_peak_pct': (
+                round(flops_per_step * scan_sps / 1e12
+                      / V5E_BF16_PEAK_TFLOPS * 100, 4)
                 if flops_per_step else None),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'baseline_source': baseline_source,

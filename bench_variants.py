@@ -194,6 +194,11 @@ def main():
 
         return run_block
 
+    # full measurement config in every output line, so a results row is
+    # interpretable without reading the launching script (VERDICT r3 #7)
+    cfg = {'solver': args.solver, 'batch': BATCH, 'T': T, 'M': M, 'S': S,
+           'scan': bool(args.scan), 'rounds': args.rounds}
+
     if args.ab:
         a, b = args.ab
         for L in args.L:
@@ -207,14 +212,21 @@ def main():
                 ratios.append(sb / sa)
                 a_sps.append(sa)
                 b_sps.append(sb)
+            ratios.sort()
+            n = len(ratios)
             print(json.dumps({
                 'ab': [a, b], 'L': L,
                 'median_ratio_b_over_a': round(
                     statistics.median(ratios), 4),
                 'ratio_range': [round(min(ratios), 3),
                                 round(max(ratios), 3)],
+                # central 80% of per-round ratios: the decision interval
+                # (the full range is dominated by single tunnel hiccups)
+                'ratio_iqr80': [round(ratios[n // 10], 3),
+                                round(ratios[n - 1 - n // 10], 3)],
                 f'{a}_best_sps': round(max(a_sps), 1),
-                f'{b}_best_sps': round(max(b_sps), 1)}), flush=True)
+                f'{b}_best_sps': round(max(b_sps), 1),
+                'config': cfg}), flush=True)
         return
 
     for name in args.variants:
@@ -226,7 +238,8 @@ def main():
             print(json.dumps({
                 'variant': name, 'L': L,
                 'steps_per_sec': round(best, 2),
-                'us_per_step': round(1e6 / best, 1)}), flush=True)
+                'us_per_step': round(1e6 / best, 1),
+                'config': cfg}), flush=True)
 
 
 if __name__ == '__main__':

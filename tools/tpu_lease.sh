@@ -1,0 +1,48 @@
+#!/bin/bash
+# Per-item TPU lease wrapper (round-4 protocol; fixes VERDICT r3 #1).
+#
+# Round 3 lost the driver's official bench number because the measurement
+# queue held /tmp/tpu_lease.lock for its ENTIRE multi-hour runtime while
+# bench.py's wait is bounded at 2700 s. Round 4 inverts the granularity:
+# every TPU measurement item runs as
+#
+#     tools/tpu_lease.sh <command ...>
+#
+# which (1) waits, bounded, for any LIVE lease holder (stale/dead-pid
+# leases are ignored), (2) waits for a live pytest session (this 1-CPU
+# host: a concurrent suite starves TPU dispatch ~2x, CLAUDE.md), then
+# (3) takes the lease for the duration of ONE command and releases it on
+# exit. bench.py uses the same protocol internally (_wait_for_tpu_lease +
+# _take_tpu_lease), so a driver-launched bench mid-queue waits minutes
+# for the current item instead of starving behind the whole queue.
+set -u
+LEASE=/tmp/tpu_lease.lock
+PYLOCK=/tmp/pytest_running.lock
+
+wait_lock() {  # $1=path $2=max_s $3=label
+  local waited=0 pid
+  while [ -e "$1" ] && [ "$waited" -lt "$2" ]; do
+    pid=$(cat "$1" 2>/dev/null)
+    if [ -n "$pid" ] && ! kill -0 "$pid" 2>/dev/null; then
+      echo "tpu_lease: stale $3 (pid $pid dead), proceeding" >&2
+      rm -f "$1"
+      break
+    fi
+    [ "$waited" -eq 0 ] && echo "tpu_lease: waiting for $3 (pid $pid)" >&2
+    sleep 15; waited=$((waited+15))
+  done
+}
+
+# items are minutes each under this protocol; 2700 s covers the longest
+# (a full bench.py run) with margin
+wait_lock "$LEASE" 2700 "TPU lease"
+wait_lock "$PYLOCK" 3600 "pytest session"
+
+echo $$ > "$LEASE"
+release() {
+  if [ "$(cat "$LEASE" 2>/dev/null)" = "$$" ]; then rm -f "$LEASE"; fi
+}
+trap release EXIT
+
+"$@"
+exit $?
