@@ -141,8 +141,22 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     # constant in iters_per_epoch and equals a single train_step's
     # lowering to 0.04% - so the epoch cost IS the per-step cost (round-3
     # review fix: dividing by iters_per_epoch under-reported ~18x).
+    # Count from the jnp-path trace (forced_jnp), cross-lowered for the
+    # cpu platform: (a) the axon PJRT client returns None from
+    # cost_analysis (round-4 measurement: BENCH selfrun emitted null
+    # flops/MFU) while the platform-independent HLO analysis of a
+    # cpu-lowered module always works, and (b) pallas custom calls count
+    # as ZERO flops, so the shipped fused-kernel trace would undercount
+    # the GP/trajectory math - the jnp path is the same model fully
+    # counted.
     try:
-        cost = train_epoch.lower(state, batches, key, 1).cost_analysis()
+        from vae_gp_ode_tpu.ops import config as ops_config
+        with ops_config.forced_jnp():
+            epoch_jnp = make_train_epoch(model, tx, num_observations=360.0,
+                                         eps_guard=True)
+            lowered = epoch_jnp.trace(state, batches, key, 1).lower(
+                lowering_platforms=('cpu',))
+        cost = lowered.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops_per_step = float(cost['flops'])

@@ -131,6 +131,75 @@ def test_df_fused_entries_x64_operands():
                                    rtol=5e-4, atol=1e-5)
 
 
+def _iter_jaxprs(jaxpr):
+    yield jaxpr
+    for eqn in jaxpr.eqns:
+        for v in eqn.params.values():
+            vals = v if isinstance(v, (list, tuple)) else [v]
+            for x in vals:
+                if hasattr(x, 'jaxpr') and hasattr(x.jaxpr, 'eqns'):
+                    yield from _iter_jaxprs(x.jaxpr)
+                elif hasattr(x, 'eqns'):
+                    yield from _iter_jaxprs(x)
+
+
+def _kernel_avals_64bit(fn, *args):
+    """All 64-bit avals inside any pallas_call kernel jaxpr of fn."""
+    closed = jax.make_jaxpr(fn)(*args)
+    bad = []
+    for j in _iter_jaxprs(closed.jaxpr):
+        for eqn in j.eqns:
+            if 'pallas_call' not in eqn.primitive.name:
+                continue
+            kj = eqn.params['jaxpr']
+            kj = kj.jaxpr if hasattr(kj, 'jaxpr') else kj
+            for sub in _iter_jaxprs(kj):
+                for e2 in sub.eqns:
+                    for v in list(e2.invars) + list(e2.outvars):
+                        aval = getattr(v, 'aval', None)
+                        if (hasattr(aval, 'dtype')
+                                and np.dtype(aval.dtype).itemsize == 8):
+                            bad.append((e2.primitive.name, str(aval)))
+    return bad
+
+
+def test_kernel_jaxprs_free_of_64bit_avals_under_x64():
+    """Mosaic has NO 64-bit lowering; worse, its convert-element-type
+    rule SELF-RECURSES to RecursionError on an i64->i32 convert (measured
+    round 4 on a real v5e: under x64, Python-int ``fori_loop`` bounds
+    made the induction variable i64 and the fused-flow kernels crashed
+    at compile). Interpret mode on CPU executes 64-bit jaxprs happily,
+    so the only CPU-checkable invariant is the jaxpr itself: under
+    jax_enable_x64, NO aval inside ANY pallas kernel jaxpr may be
+    64-bit - indices and loop bounds must be pinned i32, floats f32 (the
+    ops.f32cast boundary). Covers forward AND custom-vjp backward of the
+    fused whole-trajectory and per-step paths, both kernel families."""
+    from vae_gp_ode_tpu.gp import init_svgp_params, draw_fn_sample
+    from vae_gp_ode_tpu.dynamics import flow_forward
+    from vae_gp_ode_tpu.ops import config as ops_config
+    with jax.enable_x64():
+        key = jax.random.PRNGKey(0)
+        for kern in ('RBF', 'DF'):
+            gp = init_svgp_params(key, D_in=3, D_out=3, M=8, kernel=kern)
+            s = draw_fn_sample(gp, key, 16)
+            z0 = jax.random.normal(jax.random.PRNGKey(1), (4, 3)) * 0.5
+            ts = jnp.asarray(0.1 * np.arange(5))
+            ops_config.set_use_pallas(True)
+            try:
+                for fuse, solver in ((True, 'euler'), (False, 'rk4')):
+                    ops_config.set_fuse_flow(fuse)
+                    bad = _kernel_avals_64bit(
+                        lambda g, sa, z, t: flow_forward(
+                            g, sa, z, t, solver=solver)[0], gp, s, z0, ts)
+                    bad += _kernel_avals_64bit(
+                        jax.grad(lambda z: flow_forward(
+                            gp, s, z, ts, solver=solver)[0].sum()), z0)
+                    assert not bad, (kern, solver, fuse, bad[:5])
+            finally:
+                ops_config.set_use_pallas(None)
+                ops_config.set_fuse_flow(True)
+
+
 def test_fn_eval_dispatch_x64_end_to_end():
     """The exact round-3 crash path: draw_fn_sample under x64 (f64 RFF
     draws) -> svgp.fn_eval -> fused Pallas dispatch. Must produce the jnp

@@ -28,8 +28,11 @@ vmapped-seeds lowering counts all K models). Emits one JSON line.
 
 import argparse
 import json
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 parser = argparse.ArgumentParser()
 parser.add_argument('--preset', type=str, default=None)
@@ -81,6 +84,7 @@ def main():
     from vae_gp_ode_tpu.training.trainer import (
         create_train_state, make_train_epoch)
     from vae_gp_ode_tpu.training.trainer import _make_step_fn, _make_epoch_fn
+    from vae_gp_ode_tpu.ops import config as ops_config
 
     cfg = {'preset': args.preset, 'n_filt': args.n_filt, 'q': args.q,
            'S': args.S, 'M': args.M, 'batch': args.batch, 'T': args.T,
@@ -128,7 +132,13 @@ def main():
 
             st, m = dispatch(state_v, 0)
             float(m['loss'][0][-1])
-            lowered = epoch_v.lower(state_v, batches, keys0)
+            with ops_config.forced_jnp():
+                vj = jax.jit(jax.vmap(
+                    lambda st, bs, k: _make_epoch_fn(_make_step_fn(
+                        model, tx, 360.0, True))(st, bs, k, L),
+                    in_axes=(0, None, 0)))
+                lowered = vj.trace(state_v, batches, keys0).lower(
+                    lowering_platforms=('cpu',))
             fetch = lambda m: float(m['loss'][0][-1])       # noqa: E731
             run_state = state_v
         else:
@@ -141,12 +151,20 @@ def main():
 
             st, m = dispatch(state, 0)
             float(m['loss'][-1])
-            lowered = epoch.lower(state, batches, key, L)
+            with ops_config.forced_jnp():
+                epoch_jnp = make_train_epoch(model, tx,
+                                             num_observations=360.0,
+                                             eps_guard=True)
+                lowered = epoch_jnp.trace(state, batches, key, L).lower(
+                    lowering_platforms=('cpu',))
             fetch = lambda m: float(m['loss'][-1])          # noqa: E731
             run_state = state
 
         # flops of ONE step (scan body counted once; x K models when
-        # vmapped) - same convention as bench.py's model_flops_per_step
+        # vmapped) - same convention as bench.py's model_flops_per_step.
+        # Counted from the jnp-path trace cross-lowered for cpu: the axon
+        # client's cost_analysis returns None, and pallas custom calls
+        # would count as zero flops anyway (see bench.py).
         cost = lowered.cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]

@@ -81,7 +81,7 @@ def _make_fwd_kernel(T, D, SD):
         var_row = var_ref[:]
 
         z = z0_ref[:]
-        out_ref[0] = z
+        out_ref[jnp.int32(0)] = z
 
         def step(t, z):
             f = _df_eval_body(z, omf, phf, G, Zt, nurT, ls2, var_row, SD)
@@ -89,7 +89,10 @@ def _make_fwd_kernel(T, D, SD):
             out_ref[pl.ds(t + 1, 1)] = z1[None]
             return z1
 
-        jax.lax.fori_loop(0, T - 1, step, z)
+        # i32 bounds: under jax_enable_x64 Python-int bounds make the
+        # induction var i64, which Mosaic's convert rule cannot lower
+        # (it self-recurses to RecursionError - measured round 4)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(T - 1), step, z)
 
     return kernel
 
@@ -148,7 +151,10 @@ def _make_bwd_kernel(T, D, SD, slab=False):
                 jnp.zeros((D, M), f32), jnp.zeros((D, M), f32),
                 jnp.zeros((D, D), f32), jnp.zeros((1, D), f32))
         (g0, omfbar, phfbar, gcbar, gsbar, ztbar, nurtbar, ls2bar,
-         varbar) = jax.lax.fori_loop(0, T - 1, body, init)
+         # i32 bounds: under jax_enable_x64 Python-int bounds make the
+         # induction var i64, which Mosaic's convert rule cannot lower
+         # (it self-recurses to RecursionError - measured round 4)
+         varbar) = jax.lax.fori_loop(jnp.int32(0), jnp.int32(T - 1), body, init)
         z0bar_ref[:] = g0
         if slab:
             omfbar_ref[:] = omfbar[None]

@@ -101,7 +101,7 @@ def _block_sum_mask(blocks, size, dtype):
     """(blocks*size, blocks) 0/1 indicator: column b sums block b."""
     r = jax.lax.broadcasted_iota(jnp.int32, (blocks * size, blocks), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (blocks * size, blocks), 1)
-    return (r // size == c).astype(dtype)
+    return (r // jnp.int32(size) == c).astype(dtype)
 
 
 def _expand_mask(blocks, size, dtype):
@@ -110,7 +110,7 @@ def _expand_mask(blocks, size, dtype):
     in-kernel transpose)."""
     r = jax.lax.broadcasted_iota(jnp.int32, (blocks, blocks * size), 0)
     c = jax.lax.broadcasted_iota(jnp.int32, (blocks, blocks * size), 1)
-    return (c // size == r).astype(dtype)
+    return (c // jnp.int32(size) == r).astype(dtype)
 
 
 def _make_kernel(T, order, K, S, M):
@@ -148,14 +148,17 @@ def _make_kernel(T, order, K, S, M):
             return f
 
         z = z0_ref[:]
-        out_ref[0] = z
+        out_ref[jnp.int32(0)] = z
 
         def step(t, z):
             z1 = z + dts_ref[t] * rhs(z)
             out_ref[pl.ds(t + 1, 1)] = z1[None]
             return z1
 
-        jax.lax.fori_loop(0, T - 1, step, z)
+        # i32 bounds: under jax_enable_x64 Python-int bounds make the
+        # induction var i64, which Mosaic's convert rule cannot lower
+        # (it self-recurses to RecursionError - measured round 4)
+        jax.lax.fori_loop(jnp.int32(0), jnp.int32(T - 1), step, z)
 
     return kernel
 
@@ -390,7 +393,10 @@ def _make_bwd_kernel(T, order, K, S, M, slab=False):
                 jnp.zeros((1, K * M), f32), jnp.zeros((D, K * M), f32),
                 jnp.zeros((1, K * M), f32))
         (g0, omfbar, phfbar, wsbar, zbbar, znbar, il2bar,
-         nusbar) = jax.lax.fori_loop(0, T - 1, body, init)
+         # i32 bounds: under jax_enable_x64 Python-int bounds make the
+         # induction var i64, which Mosaic's convert rule cannot lower
+         # (it self-recurses to RecursionError - measured round 4)
+         nusbar) = jax.lax.fori_loop(jnp.int32(0), jnp.int32(T - 1), body, init)
         z0bar_ref[:] = g0
         if slab:
             omfbar_ref[:] = omfbar[None]

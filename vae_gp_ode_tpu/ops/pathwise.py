@@ -19,6 +19,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -57,19 +58,19 @@ def _pathwise_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
     S = w_ref.shape[0]
 
     for k in range(K):
-        var_k = var_ref[k]
+        var_k = var_ref[np.int32(k)]
         # ---- prior term: cos(x @ omega_k + phase_k) . w_k
-        om_k = omega_ref[:, :, k]                          # (D, S)
+        om_k = omega_ref[:, :, np.int32(k)]                          # (D, S)
         xo = jnp.dot(x, om_k, preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # (N, S)
-        phi = jnp.cos(xo + phase_ref[:, :, k])             # (N, S)
+        phi = jnp.cos(xo + phase_ref[:, :, np.int32(k)])             # (N, S)
         phi = phi * jnp.sqrt(var_k / S)
         f1 = jnp.dot(phi, w_ref[:, k:k + 1],
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # (N, 1)
 
         # ---- update term: nu_k . (var_k exp(-0.5 d^2(Z/ls_k, x/ls_k)))
-        inv_ls = 1.0 / ls_ref[k, :]                        # (D,)
+        inv_ls = 1.0 / ls_ref[np.int32(k), :]                        # (D,)
         xs = x * inv_ls[None, :]                           # (N, D)
         zs = Z * inv_ls[None, :]                           # (M, D)
         xn = jnp.sum(xs * xs, axis=1, keepdims=True)       # (N, 1)
@@ -79,7 +80,7 @@ def _pathwise_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
                         precision=jax.lax.Precision.HIGHEST)  # (N, M)
         sq = xn + zn.T - 2.0 * cross
         Kxz = var_k * jnp.exp(-0.5 * sq)                   # (N, M)
-        f2 = jnp.dot(Kxz, nu_ref[k, :][:, None],
+        f2 = jnp.dot(Kxz, nu_ref[np.int32(k), :][:, None],
                      preferred_element_type=jnp.float32,
                      precision=jax.lax.Precision.HIGHEST)  # (N, 1)
 
@@ -152,12 +153,12 @@ def _pathwise_bwd_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
     dZ = jnp.zeros_like(Z)
     for k in range(K):
         gk = g[:, k:k + 1]                                 # (N, 1)
-        var_k = var_ref[k]
+        var_k = var_ref[np.int32(k)]
         scale = jnp.sqrt(var_k / S)
 
         # ---- prior term
-        om_k = omega_ref[:, :, k]                          # (D, S)
-        u = mm(x, om_k) + phase_ref[:, :, k]               # (N, S)
+        om_k = omega_ref[:, :, np.int32(k)]                          # (D, S)
+        u = mm(x, om_k) + phase_ref[:, :, np.int32(k)]               # (N, S)
         cosv = jnp.cos(u)
         sinv = jnp.sin(u)
         w_k = w_ref[:, k:k + 1]                            # (S, 1)
@@ -170,14 +171,14 @@ def _pathwise_bwd_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
         dom = mm(x.T, du)                                  # (D, S)
 
         # ---- update term
-        inv_ls = 1.0 / ls_ref[k, :]                        # (D,)
+        inv_ls = 1.0 / ls_ref[np.int32(k), :]                        # (D,)
         xs = x * inv_ls[None, :]                           # (N, D)
         zs = Z * inv_ls[None, :]                           # (M, D)
         xn = jnp.sum(xs * xs, axis=1, keepdims=True)       # (N, 1)
         zn = jnp.sum(zs * zs, axis=1, keepdims=True)       # (M, 1)
         sq = xn + zn.T - 2.0 * mm(xs, zs.T)                # (N, M)
         Kxz = var_k * jnp.exp(-0.5 * sq)                   # (N, M)
-        nu_k = nu_ref[k, :][:, None]                       # (M, 1)
+        nu_k = nu_ref[np.int32(k), :][:, None]                       # (M, 1)
         f2 = mm(Kxz, nu_k)                                 # (N, 1)
         dnu = mm(Kxz.T, gk)                                # (M, 1)
         dKxz = gk * nu_k.T                                 # (N, M)
@@ -195,8 +196,8 @@ def _pathwise_bwd_kernel(x_ref, omega_ref, phase_ref, w_ref, z_ref, nu_ref,
         dvar = (jnp.sum(gk * f1) * (0.5 / var_k)
                 + jnp.sum(gk * f2) / var_k)
 
-        dom_ref[:, :, k] = dom
-        dph_ref[:, :, k] = dph
+        dom_ref[:, :, np.int32(k)] = dom
+        dph_ref[:, :, np.int32(k)] = dph
         dw_ref[:, k:k + 1] = dw
         dnu_ref[k:k + 1, :] = dnu.T
         dls_ref[k:k + 1, :] = dls[None, :]
