@@ -141,25 +141,26 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
     # constant in iters_per_epoch and equals a single train_step's
     # lowering to 0.04% - so the epoch cost IS the per-step cost (round-3
     # review fix: dividing by iters_per_epoch under-reported ~18x).
-    # Count from the jnp-path trace (forced_jnp), cross-lowered for the
-    # cpu platform: (a) the axon PJRT client returns None from
-    # cost_analysis (round-4 measurement: BENCH selfrun emitted null
-    # flops/MFU) while the platform-independent HLO analysis of a
-    # cpu-lowered module always works, and (b) pallas custom calls count
-    # as ZERO flops, so the shipped fused-kernel trace would undercount
-    # the GP/trajectory math - the jnp path is the same model fully
-    # counted.
+    # Counted in a CPU subprocess (tools/mfu_fill_r4.py --flops_only,
+    # jnp-path lowering): the axon PJRT client returns None from
+    # cost_analysis for tpu- AND cpu-lowered modules alike (round-4
+    # measurement - this nulled BENCH's flops/MFU fields), and pallas
+    # custom calls would count as ZERO flops, so the shipped fused-kernel
+    # trace would undercount the GP/trajectory math anyway.
     try:
-        from vae_gp_ode_tpu.ops import config as ops_config
-        with ops_config.forced_jnp():
-            epoch_jnp = make_train_epoch(model, tx, num_observations=360.0,
-                                         eps_guard=True)
-            lowered = epoch_jnp.trace(state, batches, key, 1).lower(
-                lowering_platforms=('cpu',))
-        cost = lowered.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost['flops'])
+        import json as _json
+        import subprocess
+        import sys as _sys
+        r = subprocess.run(
+            [_sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tools', 'mfu_fill_r4.py'),
+             '--flops_only', '--device', 'cpu', '--batch', str(BATCH),
+             '--T', str(T), '--q', str(Q), '--S', str(S), '--M', str(M),
+             '--L', str(L), '--iters', str(iters_per_epoch)],
+            capture_output=True, text=True, timeout=1800)
+        flops_per_step = float(_json.loads(
+            r.stdout.strip().splitlines()[-1])['model_flops_per_step'])
     except Exception:
         flops_per_step = None
 

@@ -50,6 +50,12 @@ parser.add_argument('--iters', type=int, default=6,
 parser.add_argument('--reps', type=int, default=3)
 parser.add_argument('--device', type=str, default='tpu')
 parser.add_argument('--use_case', type=str, default=None)
+parser.add_argument('--flops_only', action='store_true',
+                    help='print {"model_flops_per_step": N} and exit. '
+                         'Run with --device cpu: the axon PJRT client '
+                         'returns None from cost_analysis (for tpu- AND '
+                         'cpu-lowered modules alike, measured round 4), '
+                         'so the TPU run shells out to this mode.')
 
 PRESETS = {
     'reference': dict(batch=20, iters=18,
@@ -85,6 +91,41 @@ def main():
         create_train_state, make_train_epoch)
     from vae_gp_ode_tpu.training.trainer import _make_step_fn, _make_epoch_fn
     from vae_gp_ode_tpu.ops import config as ops_config
+
+    if args.flops_only:
+        # jnp-path lowering on the CPU backend, abstract batch shapes
+        # (never materialise a (iters, 5120, 16, 1, 28, 28) host array);
+        # model init at batch=2 - parameters are batch-independent
+        assert jax.default_backend() == 'cpu', \
+            'run --flops_only with --device cpu'
+        model, variables, gp = init_model(
+            jax.random.PRNGKey(0), latent_dim=args.q, n_filt=args.n_filt,
+            order=1, num_features=args.S, num_inducing=args.M, batch=2,
+            T=args.T, solver='euler')
+        state, tx = create_train_state(model, variables, gp, lr=1e-3)
+        b_sds = jax.ShapeDtypeStruct(
+            (args.iters, args.batch, args.T, 1, 28, 28), jnp.float32)
+        key = jax.random.PRNGKey(4)
+        with ops_config.forced_jnp():
+            if args.seeds > 1:
+                state_v = jax.tree.map(
+                    lambda a: jnp.stack([jnp.asarray(a)] * args.seeds),
+                    state)
+                epoch_v = jax.jit(jax.vmap(
+                    lambda st, bs, k: _make_epoch_fn(_make_step_fn(
+                        model, tx, 360.0, True))(st, bs, k, args.L),
+                    in_axes=(0, None, 0)))
+                lowered = epoch_v.lower(
+                    state_v, b_sds, jax.random.split(key, args.seeds))
+            else:
+                epoch = make_train_epoch(model, tx, num_observations=360.0,
+                                         eps_guard=True)
+                lowered = epoch.lower(state, b_sds, key, args.L)
+        cost = lowered.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        print(json.dumps({'model_flops_per_step': float(cost['flops'])}))
+        return
 
     cfg = {'preset': args.preset, 'n_filt': args.n_filt, 'q': args.q,
            'S': args.S, 'M': args.M, 'batch': args.batch, 'T': args.T,
@@ -132,13 +173,6 @@ def main():
 
             st, m = dispatch(state_v, 0)
             float(m['loss'][0][-1])
-            with ops_config.forced_jnp():
-                vj = jax.jit(jax.vmap(
-                    lambda st, bs, k: _make_epoch_fn(_make_step_fn(
-                        model, tx, 360.0, True))(st, bs, k, L),
-                    in_axes=(0, None, 0)))
-                lowered = vj.trace(state_v, batches, keys0).lower(
-                    lowering_platforms=('cpu',))
             fetch = lambda m: float(m['loss'][0][-1])       # noqa: E731
             run_state = state_v
         else:
@@ -151,24 +185,27 @@ def main():
 
             st, m = dispatch(state, 0)
             float(m['loss'][-1])
-            with ops_config.forced_jnp():
-                epoch_jnp = make_train_epoch(model, tx,
-                                             num_observations=360.0,
-                                             eps_guard=True)
-                lowered = epoch_jnp.trace(state, batches, key, L).lower(
-                    lowering_platforms=('cpu',))
             fetch = lambda m: float(m['loss'][-1])          # noqa: E731
             run_state = state
 
         # flops of ONE step (scan body counted once; x K models when
-        # vmapped) - same convention as bench.py's model_flops_per_step.
-        # Counted from the jnp-path trace cross-lowered for cpu: the axon
-        # client's cost_analysis returns None, and pallas custom calls
-        # would count as zero flops anyway (see bench.py).
-        cost = lowered.cost_analysis()
-        if isinstance(cost, (list, tuple)):
-            cost = cost[0]
-        flops_per_step = float(cost['flops'])
+        # vmapped), from XLA HLO cost analysis of the jnp-path lowering
+        # in a CPU subprocess (--flops_only): the axon PJRT client
+        # returns None from cost_analysis for tpu- AND cpu-lowered
+        # modules alike, and pallas custom calls would count as zero
+        # flops anyway.
+        import subprocess
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), '--flops_only',
+             '--device', 'cpu', '--n_filt', str(args.n_filt),
+             '--q', str(args.q), '--S', str(args.S), '--M', str(args.M),
+             '--batch', str(args.batch), '--T', str(args.T),
+             '--L', str(L), '--seeds', str(args.seeds),
+             '--iters', str(args.iters)],
+            capture_output=True, text=True, timeout=1800)
+        assert r.returncode == 0, r.stderr[-500:]
+        flops_per_step = float(json.loads(
+            r.stdout.strip().splitlines()[-1])['model_flops_per_step'])
 
         # adaptive block size: one warm dispatch to gauge epoch time,
         # then blocks of ~2-8 s (fetch-forced, best-of-reps)
