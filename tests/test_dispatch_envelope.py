@@ -1,0 +1,80 @@
+"""Width-envelope dispatch gates for the Pallas kernels (round 4).
+
+Measured on a v5e (results/kernel_shapes_r4.jsonl): the fused kernels
+stop compiling - standalone, forward and/or backward - once the operand
+panel grows past the envelope they were tiled for (q=12 or S=1024 at
+batch 256 already fails; near-boundary compiles take 350-500 s before
+dying). ops.config.rbf_kernel_fits / df_kernel_fits gate every dispatch
+site so wider shapes run the jnp/XLA path, which compiles quickly and
+trains at comparable throughput (results/envelope_probe_r4.jsonl).
+
+These tests pin the gate: at the reference envelope the traced train
+path MUST contain a pallas_call; at wide shapes it must NOT (it would
+kill the TPU compiler), and the jnp path it falls back to must produce
+finite values and gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vae_gp_ode_tpu.gp import init_svgp_params, draw_fn_sample
+from vae_gp_ode_tpu.dynamics import flow_forward
+from vae_gp_ode_tpu.ops import config as ops_config
+
+
+def _has_pallas_call(fn, *args):
+    return 'pallas_call' in str(jax.make_jaxpr(fn)(*args))
+
+
+def _flow_jaxpr_probe(kern, D, S, M, fuse):
+    gp = init_svgp_params(jax.random.PRNGKey(0), D_in=D, D_out=D, M=M,
+                          kernel=kern)
+    s = draw_fn_sample(gp, jax.random.PRNGKey(1), S)
+    z0 = jax.random.normal(jax.random.PRNGKey(2), (4, D)) * 0.3
+    ts = 0.1 * jnp.arange(5)
+    ops_config.set_use_pallas(True)
+    ops_config.set_fuse_flow(fuse)
+    try:
+        fn = lambda z: flow_forward(gp, s, z, ts, solver='euler')[0]  # noqa
+        has = _has_pallas_call(fn, z0)
+        zs = fn(z0)
+        g = jax.grad(lambda z: jnp.sum(fn(z) ** 2))(z0)
+    finally:
+        ops_config.set_use_pallas(None)
+        ops_config.set_fuse_flow(True)
+    assert np.isfinite(np.asarray(zs)).all()
+    assert np.isfinite(np.asarray(g)).all()
+    return has
+
+
+def test_rbf_reference_envelope_dispatches_pallas():
+    assert _flow_jaxpr_probe('RBF', D=6, S=256, M=100, fuse=True)
+    assert _flow_jaxpr_probe('RBF', D=6, S=256, M=100, fuse=False)
+
+
+def test_rbf_wide_shapes_fall_back_to_xla():
+    # S=1024 (q=6) and q(D)=12 both measured-fatal on the v5e compiler
+    assert not _flow_jaxpr_probe('RBF', D=6, S=1024, M=100, fuse=True)
+    assert not _flow_jaxpr_probe('RBF', D=12, S=256, M=100, fuse=True)
+    assert not _flow_jaxpr_probe('RBF', D=6, S=2048, M=100, fuse=False)
+
+
+def test_df_reference_envelope_dispatches_pallas():
+    assert _flow_jaxpr_probe('DF', D=6, S=256, M=100, fuse=True)
+
+
+def test_df_wide_shapes_fall_back_to_xla():
+    assert not _flow_jaxpr_probe('DF', D=6, S=1024, M=100, fuse=True)
+    assert not _flow_jaxpr_probe('DF', D=6, S=1024, M=100, fuse=False)
+
+
+def test_gate_formulas_pin_measured_boundary():
+    # validated-good envelope stays in
+    assert ops_config.rbf_kernel_fits(6, 256, 100)
+    assert ops_config.df_kernel_fits(6, 256, 100)
+    # measured-fatal shapes stay out (kernel_shapes_r4.jsonl)
+    assert not ops_config.rbf_kernel_fits(12, 256, 100)   # q12
+    assert not ops_config.rbf_kernel_fits(16, 256, 100)   # q16
+    assert not ops_config.rbf_kernel_fits(6, 1024, 100)   # S1024
+    assert not ops_config.df_kernel_fits(6, 1024, 100)

@@ -47,7 +47,10 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
     if (solver == 'euler' and dense == 1 and gp.kernel_name == 'RBF'
             and gp.kernel.dimwise and ts.shape[0] >= 2):
         from vae_gp_ode_tpu.ops import config as ops_config
-        if ops_config.use_pallas() and ops_config.fuse_flow():
+        if (ops_config.use_pallas() and ops_config.fuse_flow()
+                and ops_config.rbf_kernel_fits(
+                    sample.rff.phase.shape[2], sample.rff.phase.shape[1],
+                    gp.inducing_loc.shape[0])):
             from vae_gp_ode_tpu.ops.flow_fused import fused_euler_flow
             from vae_gp_ode_tpu.ops.pathwise import rbf_fused_operands
             T = ts.shape[0]
@@ -60,7 +63,10 @@ def flow_forward(gp: SVGPParams, sample: FnSample, z0, ts, order=1,
             and order == 1 and ts.shape[0] >= 2
             and getattr(sample, 'df_G', None) is not None):
         from vae_gp_ode_tpu.ops import config as ops_config
-        if ops_config.use_pallas() and ops_config.fuse_flow():
+        if (ops_config.use_pallas() and ops_config.fuse_flow()
+                and ops_config.df_kernel_fits(
+                    z0.shape[1], sample.rff.phase.shape[1],
+                    gp.inducing_loc.shape[0])):
             from vae_gp_ode_tpu.ops.df_flow_fused import packed_df_euler_flow
             from vae_gp_ode_tpu.ops.df_pathwise import df_fused_operands
             T = ts.shape[0]

@@ -177,7 +177,10 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
     """
     if p.kernel_name == 'DF':
         from vae_gp_ode_tpu.ops import config as ops_config
-        if ops_config.use_pallas() and s.df_G is not None:
+        if (ops_config.use_pallas() and s.df_G is not None
+                and ops_config.df_kernel_fits(
+                    x.shape[1], s.rff.phase.shape[1],
+                    p.inducing_loc.shape[0])):
             from vae_gp_ode_tpu.ops.df_pathwise import (
                 df_fused_operands, fused_df_pathwise_eval)
             return fused_df_pathwise_eval(
@@ -190,7 +193,10 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
         from vae_gp_ode_tpu.ops import config as ops_config
         from vae_gp_ode_tpu.ops.pathwise import (
             fused_pathwise_eval, rbf_fused_operands)
-        if ops_config.use_pallas():
+        if (ops_config.use_pallas()
+                and ops_config.rbf_kernel_fits(
+                    s.rff.phase.shape[2], s.rff.phase.shape[1],
+                    p.inducing_loc.shape[0])):
             return fused_pathwise_eval(
                 x, *rbf_fused_operands(p, s),
                 ops_config.interpret_mode())

@@ -52,6 +52,33 @@ def set_use_pallas(value):
     _use_pallas = value
 
 
+# --- validated width envelope for the Pallas kernels (round 4) --------
+# The v5e compiler (reached through the axon remote-compile helper) dies
+# - or takes 350-500 s on the forward and then dies in the backward -
+# once a kernel's operand panel grows past the envelope the kernels were
+# tiled and validated for (q<=6/order<=2, S=256, M=100: panel width
+# K*(S+M) = 2136 for the dimwise-RBF kernels, D*(2S+M) = 3672 for the
+# matrix-valued DF kernels). Measured round 4 on hardware
+# (results/kernel_shapes_r4.jsonl): q=12 or S=1024 fails STANDALONE at
+# batch 256, forward and/or backward. Wider shapes must dispatch to the
+# jnp/XLA path, which compiles quickly and trains at the same order of
+# throughput (results/envelope_probe_r4.jsonl: S=8192 at batch 1280 runs
+# 0.30 s/epoch in pure XLA; n_filt=32/q=16 runs 0.34 s/epoch).
+_RBF_MAX_COLS = 2136
+_DF_MAX_COLS = 3672
+
+
+def rbf_kernel_fits(K, S, M):
+    """True iff the dimwise-RBF Pallas kernels are inside the validated
+    width envelope for K output dims, S features, M inducing points."""
+    return K * (S + M) <= _RBF_MAX_COLS
+
+
+def df_kernel_fits(D, S, M):
+    """Same gate for the divergence-free (matrix-valued) kernels."""
+    return D * (2 * S + M) <= _DF_MAX_COLS
+
+
 def interpret_mode():
     """True when the Pallas kernels must run in interpret mode (non-TPU
     backend). Lets tests force the *real dispatch path* (incl. the
