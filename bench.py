@@ -343,22 +343,26 @@ def main():
      scan_sps_chained, scan_sps_segment) = measure_scanned_steps_per_sec()
     jax_sps, nfe_per_step, jax_sps_l5 = measure_jax_steps_per_sec()
     torch_sps, baseline_source = get_torch_baseline()
-    # headline: the shipped default training path (whole-epoch scan, one
-    # dispatch per 18-iter epoch - what `python main.py` runs); the
-    # per-step-dispatch numbers (round-1 protocol) stay in `extra`
-    seqs_per_sec = scan_sps * BATCH
+    # headline: the shipped default training path - whole-epoch scan
+    # dispatches CHAINED 10-deep between metric fetches, which is exactly
+    # what `python main.py` runs since --epochs_per_fetch defaulted to 10
+    # (round 4; the A/B on the real trainer measured the chain at 1.54x,
+    # results/epf_ab_r3.json). The per-epoch-fetch and per-step-dispatch
+    # protocols stay in `extra` for continuity with rounds 1-3.
+    head_sps = scan_sps_chained if scan_sps_chained else scan_sps
+    seqs_per_sec = head_sps * BATCH
     result = {
         'metric': 'train_seqs_per_sec',
         'value': round(seqs_per_sec, 2),
         'unit': 'seqs/s',
-        'vs_baseline': round(scan_sps / torch_sps, 2),
+        'vs_baseline': round(head_sps / torch_sps, 2),
         'extra': {
             'train_steps_per_sec_scanned_epoch': round(scan_sps, 3),
             'train_steps_per_sec_scanned_epoch_L5': round(scan_sps_l5, 3),
             'train_steps_per_sec_per_step_dispatch': round(jax_sps, 3),
             'train_steps_per_sec_per_step_dispatch_L5': round(jax_sps_l5,
                                                               3),
-            'ode_fn_evals_per_sec': round(scan_sps * nfe_per_step, 1),
+            'ode_fn_evals_per_sec': round(head_sps * nfe_per_step, 1),
             'model_flops_per_step': flops_per_step,
             'train_steps_per_sec_chained_10ep_fetch': round(
                 scan_sps_chained, 3),
@@ -366,7 +370,7 @@ def main():
                 round(scan_sps_segment, 3)
                 if scan_sps_segment is not None else None),
             'achieved_model_tflops_per_sec': (
-                round(flops_per_step * scan_sps / 1e12, 4)
+                round(flops_per_step * head_sps / 1e12, 4)
                 if flops_per_step else None),
             # MFU vs bf16 chip peak (VERDICT r3 #5). Numerator is MODEL
             # flops (XLA HLO cost analysis of the unoptimised lowering,
@@ -375,13 +379,15 @@ def main():
             # RESULTS.md for the chip-filling configurations.
             'v5e_bf16_peak_tflops': V5E_BF16_PEAK_TFLOPS,
             'mfu_vs_bf16_peak_pct': (
-                round(flops_per_step * scan_sps / 1e12
+                round(flops_per_step * head_sps / 1e12
                       / V5E_BF16_PEAK_TFLOPS * 100, 4)
                 if flops_per_step else None),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'baseline_source': baseline_source,
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '
-                      f'L={L} euler; headline=--fast_epoch scanned path, '
+                      f'L={L} euler; headline=shipped trainer default '
+                      f'(--fast_epoch + --epochs_per_fetch 10: chained '
+                      f'epoch dispatches, one fetch per chain), '
                       f'FETCH-FORCED timing (round-1 block-timed protocol '
                       f'measured dispatch, not compute - see RESULTS.md)',
         },
