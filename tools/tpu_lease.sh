@@ -16,8 +16,11 @@
 # _take_tpu_lease), so a driver-launched bench mid-queue waits minutes
 # for the current item instead of starving behind the whole queue.
 set -u
-LEASE=/tmp/tpu_lease.lock
-PYLOCK=/tmp/pytest_running.lock
+# Paths overridable for the regression tests (tests/test_lease.py), which
+# must not touch the real locks while the suite itself holds the pytest
+# lock (a test using the real PYLOCK would wait on its own session).
+LEASE="${TPU_LEASE_PATH:-/tmp/tpu_lease.lock}"
+PYLOCK="${PYTEST_LOCK_PATH:-/tmp/pytest_running.lock}"
 
 wait_lock() {  # $1=path $2=max_s $3=label
   local waited=0 pid
