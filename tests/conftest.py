@@ -34,24 +34,16 @@ def pytest_sessionstart(session):
     # holds /tmp/tpu_lease.lock; the suite starting mid-item would starve
     # its dispatch on this 1-CPU host (~2x corruption). Wait, bounded
     # per-item (round-4 protocol: the lease wraps single items, minutes
-    # each, not whole queues). Stale/dead-pid leases are ignored.
-    # Opt out with VGO_SKIP_TPU_LEASE_WAIT=1 (e.g. quick local runs).
-    import time
-    lease = '/tmp/tpu_lease.lock'
+    # each, not whole queues). The wait/stale-pid logic lives in ONE
+    # place - bench._wait_for_tpu_lease - so the protocol (incl. the
+    # empty-pid-is-stale rule) can't silently diverge between the suite
+    # and the bench. Opt out with VGO_SKIP_TPU_LEASE_WAIT=1.
     if not os.environ.get('VGO_SKIP_TPU_LEASE_WAIT'):
-        waited = 0
-        while os.path.exists(lease) and waited < 2700:
-            try:
-                pid = open(lease).read().strip()
-            except OSError:
-                break
-            if pid and not os.path.exists(f'/proc/{pid}'):
-                break                       # stale lease: proceed
-            if waited == 0:
-                print(f'conftest: waiting for TPU lease holder '
-                      f'(pid {pid}, max 2700s)')
-            time.sleep(30)
-            waited += 30
+        import sys
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import bench
+        bench._wait_for_tpu_lease(max_wait_s=2700)
     try:
         # don't clobber a live concurrent session's lock (its pid would
         # be lost and its session would lose lock protection on our exit)

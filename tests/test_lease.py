@@ -69,6 +69,16 @@ def test_wait_is_bounded_for_live_holder(tmp_path):
     assert time.perf_counter() - t0 < 5
 
 
+def test_wait_treats_empty_lease_as_stale(tmp_path):
+    # a holder killed between create and write leaves a 0-byte lease; it
+    # must not be waited on for the full bound (45 min in production)
+    lease = str(tmp_path / 'lease')
+    open(lease, 'w').close()
+    t0 = time.perf_counter()
+    bench._wait_for_tpu_lease(lease=lease, max_wait_s=600)
+    assert time.perf_counter() - t0 < 10    # one 1s grace re-read, no 30s
+
+
 def test_take_and_release_lease(tmp_path):
     lease = str(tmp_path / 'lease')
     release = bench._take_tpu_lease(lease=lease)
@@ -127,5 +137,14 @@ def test_wrapper_ignores_stale_lease(tmp_path):
     r, lease = _run_wrapped(tmp_path, 'true', lease_prefill=_dead_pid())
     assert r.returncode == 0
     assert time.perf_counter() - t0 < 10    # no 15 s wait cycle
+    assert 'stale' in r.stderr
+    assert not os.path.exists(lease)
+
+
+def test_wrapper_ignores_empty_lease(tmp_path):
+    t0 = time.perf_counter()
+    r, lease = _run_wrapped(tmp_path, 'true', lease_prefill='')
+    assert r.returncode == 0
+    assert time.perf_counter() - t0 < 15    # 1s grace re-read, no 15s cycle
     assert 'stale' in r.stderr
     assert not os.path.exists(lease)
