@@ -121,10 +121,20 @@ parser.add_argument('--nan_policy', type=str, default='bailout',
                          "guard already carries state through unchanged), "
                          "logs it, and keeps training - resilient mode "
                          "for long unattended runs")
-parser.add_argument('--plot_freq', type=int, default=1,
-                    help="epochs between eval plots/checkpoints (the "
-                         "reference plots+checkpoints every epoch; host-"
-                         "side matplotlib dominates fast TPU runs)")
+parser.add_argument('--plot_freq', type=int, default=10,
+                    help="epochs between eval plots/checkpoints. The "
+                         "reference plots+checkpoints every epoch "
+                         "(main.py:243-244) but OVERWRITES the same "
+                         "plot/ckpt file each time, so a coarser cadence "
+                         "loses only mid-run checkpoint recency (<= "
+                         "plot_freq-1 epochs) - while per-epoch artifacts "
+                         "force a per-epoch host fetch that defeats "
+                         "--epochs_per_fetch (host-side matplotlib also "
+                         "dominates fast TPU runs). DEFAULT 10 since "
+                         "round 4, aligned with --epochs_per_fetch so "
+                         "plain `python main.py` actually runs the "
+                         "chained-fetch path bench.py headlines; set 1 "
+                         "for the reference-faithful cadence")
 parser.add_argument('--data_parallel', type=eval, default=False,
                     help="shard the batch over all devices (mesh data "
                          "axis); single-device when only one chip")
