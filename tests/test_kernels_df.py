@@ -47,6 +47,17 @@ def test_gram_matches_numpy(params):
     np.testing.assert_allclose(K, ref, rtol=1e-4, atol=1e-5)
 
 
+def test_gram_diag_closed_form(params):
+    # df_gram_diag must equal the diagonal of the full self-gram (it is
+    # what _svgp_conditional_df uses instead of materialising (ND, ND))
+    rng = np.random.RandomState(5)
+    X = jnp.asarray(rng.randn(7, 3).astype(np.float32))
+    full = jnp.diagonal(dfk.df_gram(params, X))
+    closed = dfk.df_gram_diag(params, X)
+    assert closed.shape == (21,)
+    np.testing.assert_allclose(closed, full, rtol=1e-5, atol=1e-6)
+
+
 def test_self_gram_symmetric_psd(params):
     rng = np.random.RandomState(4)
     X = jnp.asarray(rng.randn(6, 3).astype(np.float32))

@@ -61,6 +61,11 @@ def main():
     else:
         ops_config.set_use_pallas(False)
         ops_config.set_fuse_flow(False)
+    if args.mode in ('fused', 'perstep'):
+        # this probe MEASURES the envelope, so the shipped width gates
+        # (which route out-of-envelope shapes to XLA) must not silently
+        # turn a wide 'fused'/'perstep' row into an XLA measurement
+        ops_config.set_ignore_width_gates(True)
 
     try:
         model, variables, gp = init_model(

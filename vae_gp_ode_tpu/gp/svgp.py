@@ -316,6 +316,8 @@ def _svgp_conditional_df(p: SVGPParams, x, full_cov=False):
     mean = (A.T @ p.Um.reshape(MD)[:, None]).reshape(x.shape[0], D)
     if full_cov:
         return mean, dfk.df_gram(p.kernel, x) + A.T @ B  # (ND, ND)
-    Kff_diag = jnp.diagonal(dfk.df_gram(p.kernel, x))    # (ND,)
+    # closed-form diagonal: building the (ND, ND) gram just to read its
+    # diagonal costs O(N^2 D^2) memory (144 MB at N=1000, D=6)
+    Kff_diag = dfk.df_gram_diag(p.kernel, x)             # (ND,)
     var = (Kff_diag + jnp.sum(A * B, axis=0)).reshape(x.shape[0], D)
     return mean, var

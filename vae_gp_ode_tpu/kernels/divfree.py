@@ -79,6 +79,24 @@ def df_gram(p: RBFParams, X, X2=None):
     return jnp.transpose(K, (0, 2, 1, 3)).reshape(N * D, M * D)
 
 
+def df_gram_diag(p: RBFParams, X):
+    """Diagonal of ``df_gram(p, X)`` without building the (N*D, N*D) gram.
+
+    At zero distance sq = 0 and diff = 0, so term1 vanishes and
+    term2 = (D-1) I; the diagonal entry for point n, output dim d is
+    var[d] * (D-1) / ls2[d, d] - constant across points. Returns (N*D,)
+    in df_gram's points-major layout (index n*D + d). Pinned against
+    jnp.diagonal(df_gram(...)) in tests/test_kernels_df.py.
+    """
+    D = X.shape[1]
+    ls = rbf_lengthscales(p)
+    var = rbf_variance(p)
+    ls2 = ls * ls
+    ls2_dd = jnp.diagonal(ls2) if ls2.ndim == 2 else ls2
+    kdiag = jnp.broadcast_to(var * (D - 1.0) / ls2_dd, (D,))
+    return jnp.tile(kdiag, X.shape[0])
+
+
 def df_sample_rff(p: RBFParams, key, S, D_in, D_out,
                   noise: Optional[dict] = None) -> RFFState:
     """Draw operator-valued RFF parameters (reference kernels.py:305-316).

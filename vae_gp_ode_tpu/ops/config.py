@@ -66,17 +66,31 @@ def set_use_pallas(value):
 # 0.30 s/epoch in pure XLA; n_filt=32/q=16 runs 0.34 s/epoch).
 _RBF_MAX_COLS = 2136
 _DF_MAX_COLS = 3672
+_ignore_width_gates = False
+
+
+def set_ignore_width_gates(value):
+    """Probe-only escape hatch: when True the width gates below always
+    pass, so out-of-envelope shapes reach the Pallas kernels instead of
+    silently dispatching to the jnp/XLA fallback. Needed to RE-MEASURE
+    the envelope itself (tools/probe_envelope_r4.py /
+    probe_kernel_shapes_r4.py) - without it a 'fused' probe row at q=16
+    would compile the XLA path and wrongly report that wide fused
+    kernels work. Never set in production: out-of-envelope compiles take
+    350-500 s and then kill the v5e compiler."""
+    global _ignore_width_gates
+    _ignore_width_gates = bool(value)
 
 
 def rbf_kernel_fits(K, S, M):
     """True iff the dimwise-RBF Pallas kernels are inside the validated
     width envelope for K output dims, S features, M inducing points."""
-    return K * (S + M) <= _RBF_MAX_COLS
+    return _ignore_width_gates or K * (S + M) <= _RBF_MAX_COLS
 
 
 def df_kernel_fits(D, S, M):
     """Same gate for the divergence-free (matrix-valued) kernels."""
-    return D * (2 * S + M) <= _DF_MAX_COLS
+    return _ignore_width_gates or D * (2 * S + M) <= _DF_MAX_COLS
 
 
 def interpret_mode():
