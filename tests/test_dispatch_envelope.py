@@ -78,3 +78,17 @@ def test_gate_formulas_pin_measured_boundary():
     assert not ops_config.rbf_kernel_fits(16, 256, 100)   # q16
     assert not ops_config.rbf_kernel_fits(6, 1024, 100)   # S1024
     assert not ops_config.df_kernel_fits(6, 1024, 100)
+
+
+def test_ignore_width_gates_override():
+    # probe-only escape hatch: the envelope probes must reach the Pallas
+    # kernels at out-of-envelope shapes instead of silently measuring
+    # the XLA fallback (tools/probe_envelope_r4.py)
+    try:
+        ops_config.set_ignore_width_gates(True)
+        assert ops_config.rbf_kernel_fits(12, 256, 100)
+        assert ops_config.df_kernel_fits(6, 1024, 100)
+    finally:
+        ops_config.set_ignore_width_gates(False)
+    assert not ops_config.rbf_kernel_fits(12, 256, 100)
+    assert not ops_config.df_kernel_fits(6, 1024, 100)
