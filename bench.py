@@ -346,6 +346,12 @@ def _take_tpu_lease(lease='/tmp/tpu_lease.lock'):
 
 def main():
     _wait_for_tpu_lease()
+    # also wait (bounded) for a live pytest session: the suite pegs this
+    # host's single CPU and starves TPU dispatch ~2x (conftest waits in
+    # the other direction already; same pid-file format, same stale
+    # rules). Bounded at 2700 s, then proceed anyway - a degraded real
+    # number beats a null if a suite outlives the wait.
+    _wait_for_tpu_lease(lease='/tmp/pytest_running.lock', max_wait_s=2700)
     release_lease = _take_tpu_lease()
     import atexit
     atexit.register(release_lease)
