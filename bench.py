@@ -175,12 +175,23 @@ def measure_scanned_steps_per_sec(iters_per_epoch=18, epochs_per_block=20,
                  '--T', str(T), '--q', str(Q), '--S', str(S), '--M', str(M),
                  '--L', str(L), '--iters', str(iters_per_epoch)],
                 capture_output=True, text=True, timeout=1800)
+            if r.returncode != 0:
+                raise RuntimeError(
+                    f'flops subprocess exited {r.returncode}: '
+                    f'{r.stderr[-300:]}')
             flops_per_step = float(_json.loads(
                 r.stdout.strip().splitlines()[-1])['model_flops_per_step'])
             with open(flops_cache, 'w') as f:
                 _json.dump({'model_flops_per_step': flops_per_step,
                             'config': flops_cfg}, f)
-    except Exception:
+    except Exception as e:
+        # a null flops field must be distinguishable from a never-run
+        # cache (ADVICE r4: the blanket except silently nulled the MFU
+        # fields round 4 set out to un-null)
+        import sys as _sys
+        print(f'WARNING: model-FLOPs count failed ({type(e).__name__}: '
+              f'{str(e)[:200]}); model_flops_per_step and MFU fields will '
+              f'be null', file=_sys.stderr)
         flops_per_step = None
 
     def run_segment(L, reps, n_epochs=10):
@@ -286,6 +297,71 @@ def _probe_backend(timeout_s=600):
         raise RuntimeError(f'backend probe failed: {r.stderr[-300:]}')
 
 
+def _probe_backend_with_retry(max_attempts=9, attempt_timeout_s=300,
+                              retry_sleep_s=120, max_total_s=2700):
+    """Probe the TPU backend with bounded retries.
+
+    A single one-shot probe converted a transient axon outage into a lost
+    round twice (BENCH_r03/r04 both null; VERDICT r4 #1): the tunnel's
+    pool recycles in minutes, not hours. Retry every few minutes for up
+    to ~45 min, logging each attempt to stderr with a timestamp. Returns
+    the attempt log on success; raises RuntimeError carrying the attempt
+    log (in .attempts) when every attempt failed."""
+    import subprocess
+    import sys
+    attempts = []
+    t_start = time.time()
+    for i in range(max_attempts):
+        stamp = time.strftime('%Y-%m-%dT%H:%M:%S')
+        try:
+            _probe_backend(timeout_s=attempt_timeout_s)
+            attempts.append({'t': stamp, 'ok': True})
+            print(f'TPU probe attempt {i + 1} ok at {stamp}',
+                  file=sys.stderr)
+            return attempts
+        except (RuntimeError, subprocess.TimeoutExpired, OSError) as e:
+            err = f'{type(e).__name__}: {str(e)[:200]}'
+            attempts.append({'t': stamp, 'ok': False, 'error': err})
+            print(f'TPU probe attempt {i + 1}/{max_attempts} failed at '
+                  f'{stamp}: {err}', file=sys.stderr)
+        if (i + 1 >= max_attempts
+                or time.time() - t_start + retry_sleep_s > max_total_s):
+            break
+        print(f'retrying TPU probe in {retry_sleep_s}s', file=sys.stderr)
+        time.sleep(retry_sleep_s)
+    exc = RuntimeError(
+        f'backend unavailable after {len(attempts)} probe attempts over '
+        f'{int(time.time() - t_start)}s; last: '
+        f'{attempts[-1].get("error", "?")}')
+    exc.attempts = attempts
+    raise exc
+
+
+def _latest_selfrun():
+    """The most recent self-run bench record under results/, for the
+    failure-path diagnostics ONLY (reported as 'stale_selfrun', never as
+    the headline value): when the driver's capture moment hits an outage,
+    the error JSON should still say what the framework last measured."""
+    import glob
+    here = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(here, 'results',
+                                          'bench_r*_selfrun.json')),
+                   key=os.path.getmtime)
+    if not cands:
+        return None
+    try:
+        with open(cands[-1]) as f:
+            rec = json.load(f)
+        return {'file': os.path.relpath(cands[-1], here),
+                'mtime': time.strftime(
+                    '%Y-%m-%dT%H:%M:%S',
+                    time.localtime(os.path.getmtime(cands[-1]))),
+                'value': rec.get('value'), 'unit': rec.get('unit'),
+                'vs_baseline': rec.get('vs_baseline')}
+    except (OSError, ValueError):
+        return None
+
+
 def _wait_for_tpu_lease(lease='/tmp/tpu_lease.lock', max_wait_s=2700):
     """Only ONE process can hold the experimental axon chip - a second
     client blocks in backend init until it times out (measured during
@@ -324,13 +400,44 @@ def _wait_for_tpu_lease(lease='/tmp/tpu_lease.lock', max_wait_s=2700):
         waited += 30
 
 
-def _take_tpu_lease(lease='/tmp/tpu_lease.lock'):
+def _take_tpu_lease(lease='/tmp/tpu_lease.lock', max_wait_s=2700):
     """Hold the lease while THIS bench runs, so a queue item launched
-    mid-bench waits instead of colliding in backend init. Best-effort
-    (a lost race just degrades to the pre-round-4 behaviour)."""
+    mid-bench waits instead of colliding in backend init.
+
+    The take is ATOMIC (O_CREAT|O_EXCL, mirroring tools/tpu_lease.sh's
+    noclobber take): a plain truncating write could clobber a lease taken
+    between our wait loop and the write, colliding two axon clients in
+    backend init (ADVICE r4). A lost race loops back to waiting on the
+    winner; after two exhausted wait bounds the take degrades to a
+    force-take (pre-round-4 semantics: a hung holder must not wedge the
+    bench into a null record)."""
+    fd = None
+    for _ in range(2):
+        try:
+            fd = os.open(lease, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            break
+        except FileExistsError:
+            _wait_for_tpu_lease(lease=lease, max_wait_s=max_wait_s)
+            # the wait exits on a stale (dead/empty-pid) lease without
+            # deleting it; clear it so the atomic take can succeed
+            try:
+                pid = open(lease).read().strip()
+                if not pid or not os.path.exists(f'/proc/{pid}'):
+                    os.remove(lease)
+            except OSError:
+                pass
+        except OSError:
+            return lambda: None
     try:
-        with open(lease, 'w') as f:
-            f.write(str(os.getpid()))
+        if fd is not None:
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+        else:
+            import sys
+            print('TPU lease wait bounds exhausted twice; force-taking',
+                  file=sys.stderr)
+            with open(lease, 'w') as f:
+                f.write(str(os.getpid()))
     except OSError:
         return lambda: None
 
@@ -342,6 +449,36 @@ def _take_tpu_lease(lease='/tmp/tpu_lease.lock'):
         except OSError:
             pass
     return release
+
+
+def _measure_mfu_filled(timeout_s=2400):
+    """The chip-filling utilization row, measured fresh in this bench
+    invocation (subprocess: tools/mfu_fill_r4.py --preset capacity32).
+    Round 4's strongest utilization evidence (49.7 TFLOP/s = 25% MFU,
+    results/mfu_fill_r4.jsonl) lived only in a results file; this puts a
+    same-process-measured row into the driver-visible JSON. Guarded:
+    returns an error dict, never raises."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          'tools', 'mfu_fill_r4.py',),
+             '--preset', 'capacity32'],
+            capture_output=True, text=True, timeout=timeout_s)
+        if r.returncode != 0:
+            raise RuntimeError(f'exit {r.returncode}: {r.stderr[-300:]}')
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        keep = ('n_filt', 'q', 'S', 'M', 'batch', 'seeds', 'use_case',
+                'steps_per_sec', 'seqs_per_sec', 'model_flops_per_step',
+                'achieved_model_tflops_per_sec', 'mfu_vs_bf16_peak_pct')
+        return {k: rec[k] for k in keep if k in rec}
+    except Exception as e:
+        print(f'WARNING: mfu_filled phase failed ({type(e).__name__}: '
+              f'{str(e)[:200]}); reporting error field only',
+              file=sys.stderr)
+        return {'error': f'{type(e).__name__}: {str(e)[:200]}'}
 
 
 def main():
@@ -356,15 +493,28 @@ def main():
     import atexit
     atexit.register(release_lease)
     try:
-        _probe_backend()
+        probe_attempts = _probe_backend_with_retry()
     except Exception as e:
+        # bounded-retry exhausted (>=30 min of spaced attempts): emit the
+        # error JSON WITH diagnostics - the attempt log and the most
+        # recent self-run record, clearly labeled stale (VERDICT r4 #1).
+        # 'value' stays null: a stale number is never the headline.
         import json as _json
         print(_json.dumps({
             'metric': 'train_seqs_per_sec', 'value': None, 'unit': 'seqs/s',
             'vs_baseline': None,
             'error': f'TPU backend unavailable: {type(e).__name__}: '
-                     f'{str(e)[:200]}'}))
+                     f'{str(e)[:300]}',
+            'probe_attempts': getattr(e, 'attempts', None),
+            'stale_selfrun': _latest_selfrun()}))
         raise SystemExit(1)
+    # Chip-filling MFU row (VERDICT r4 #4): the capacity32 XLA-path
+    # configuration (n_filt 32, q 16, batch 1280 - the measured max this
+    # tunnel compiles) in a SUBPROCESS, so it runs while THIS process's
+    # jax is still uninitialised (two live axon clients collide in
+    # backend init) and a failure cannot null the headline. Runs under
+    # the lease we already hold.
+    mfu_filled = _measure_mfu_filled()
     # ORDER MATTERS: the scanned phase must run FIRST. Running the
     # per-step phase degrades every subsequently launched program in this
     # process ~40x (measured: scanned-first 24,098 steps/s vs 611 after a
@@ -416,6 +566,11 @@ def main():
                 round(flops_per_step * head_sps / 1e12
                       / V5E_BF16_PEAK_TFLOPS * 100, 4)
                 if flops_per_step else None),
+            # chip-filling configuration measured THIS invocation (the
+            # reference envelope above is honestly latency-bound; this
+            # row is what the chip does when given production-scale work)
+            'mfu_filled': mfu_filled,
+            'tpu_probe_attempts': len(probe_attempts),
             'torch_cpu_steps_per_sec': round(torch_sps, 3),
             'baseline_source': baseline_source,
             'config': f'rot-MNIST batch={BATCH} T={T} q={Q} M={M} S={S} '

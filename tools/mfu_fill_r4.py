@@ -194,18 +194,40 @@ def main():
         # returns None from cost_analysis for tpu- AND cpu-lowered
         # modules alike, and pallas custom calls would count as zero
         # flops anyway.
-        import subprocess
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), '--flops_only',
-             '--device', 'cpu', '--n_filt', str(args.n_filt),
-             '--q', str(args.q), '--S', str(args.S), '--M', str(args.M),
-             '--batch', str(args.batch), '--T', str(args.T),
-             '--L', str(L), '--seeds', str(args.seeds),
-             '--iters', str(args.iters)],
-            capture_output=True, text=True, timeout=1800)
-        assert r.returncode == 0, r.stderr[-500:]
-        flops_per_step = float(json.loads(
-            r.stdout.strip().splitlines()[-1])['model_flops_per_step'])
+        # config-keyed cache: the CPU lowering takes minutes on this
+        # 1-CPU host and runs INSIDE the lease window (bench.py invokes
+        # this tool per run since round 5); the count is a pure function
+        # of the shape config
+        flops_key = json.dumps(
+            [args.n_filt, args.q, args.S, args.M, args.batch, args.T, L,
+             args.seeds, args.iters])
+        flops_cache_path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            '.mfu_flops_cache.json')
+        cache = {}
+        if os.path.exists(flops_cache_path):
+            try:
+                with open(flops_cache_path) as f:
+                    cache = json.load(f)
+            except (OSError, ValueError):
+                cache = {}
+        flops_per_step = cache.get(flops_key)
+        if flops_per_step is None:
+            import subprocess
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), '--flops_only',
+                 '--device', 'cpu', '--n_filt', str(args.n_filt),
+                 '--q', str(args.q), '--S', str(args.S), '--M', str(args.M),
+                 '--batch', str(args.batch), '--T', str(args.T),
+                 '--L', str(L), '--seeds', str(args.seeds),
+                 '--iters', str(args.iters)],
+                capture_output=True, text=True, timeout=1800)
+            assert r.returncode == 0, r.stderr[-500:]
+            flops_per_step = float(json.loads(
+                r.stdout.strip().splitlines()[-1])['model_flops_per_step'])
+            cache[flops_key] = flops_per_step
+            with open(flops_cache_path, 'w') as f:
+                json.dump(cache, f)
 
         # adaptive block size: one warm dispatch to gauge epoch time,
         # then blocks of ~2-8 s (fetch-forced, best-of-reps)
