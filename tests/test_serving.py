@@ -348,3 +348,72 @@ def test_serving_cli(tiny, tmp_path):
     for n in (2, 5):
         Xn = jax.random.uniform(jax.random.PRNGKey(n), (n, T, 1, IMG, IMG))
         assert fc(Xn, seed=1).shape == (n, 2 * T, 1, IMG, IMG)
+
+
+# ------------------------------------------------------ sidecar manifest
+
+
+def test_manifest_written_and_carried(tiny, tmp_path):
+    """save_forecaster writes a provenance sidecar; load carries it."""
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=3, L=1)
+    path = str(tmp_path / 'fc.jaxexport')
+    nbytes = serving.save_forecaster(exported, path)
+    mpath = path + '.manifest.json'
+    assert os.path.exists(mpath)
+    with open(mpath) as f:
+        m = json.load(f)
+    assert m['jax_version'] == jax.__version__
+    assert m['platforms'] == list(exported.platforms)
+    assert m['nbytes'] == nbytes
+    assert m['in_avals'][0]['shape'] == ['3', str(T), '1', str(IMG),
+                                         str(IMG)]
+    fc = serving.load_forecaster(path)
+    assert fc.manifest['jax_version'] == jax.__version__
+
+
+def test_platform_mismatch_is_actionable(tiny, tmp_path):
+    """Loading a tpu-only artifact on the cpu backend must raise a
+    provenance-carrying error BEFORE a failed execution - not a
+    deserialization trace (VERDICT r4 #7)."""
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=3, L=1, platforms=('tpu',))
+    path = str(tmp_path / 'fc_tpu.jaxexport')
+    serving.save_forecaster(exported, path)
+    with pytest.raises(RuntimeError) as ei:
+        serving.load_forecaster(path)
+    msg = str(ei.value)
+    assert 'tpu' in msg and 'cpu' in msg and '--platforms' in msg
+    # inspection-only override still loads
+    fc = serving.load_forecaster(path, check_platform=False)
+    assert fc.platforms == ('tpu',)
+
+
+def test_corrupt_artifact_error_carries_provenance(tiny, tmp_path):
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=3, L=1)
+    path = str(tmp_path / 'fc.jaxexport')
+    serving.save_forecaster(exported, path)
+    with open(path, 'wb') as f:
+        f.write(b'not a stablehlo artifact')
+    with pytest.raises(RuntimeError) as ei:
+        serving.load_forecaster(path)
+    msg = str(ei.value)
+    assert 'failed to deserialize' in msg
+    assert f'exported with jax {jax.__version__}' in msg
+
+
+def test_load_without_manifest_is_backward_compatible(tiny, tmp_path):
+    """Pre-round-5 artifacts (no sidecar) load exactly as before."""
+    model, variables, gp, X = tiny
+    exported = serving.export_forecaster(model, variables, gp, T=T,
+                                         batch=3, L=1)
+    path = str(tmp_path / 'fc.jaxexport')
+    serving.save_forecaster(exported, path)
+    os.remove(path + '.manifest.json')
+    fc = serving.load_forecaster(path)
+    assert fc.manifest is None
+    assert fc(X, seed=3).shape == (1, 3, T, 1, IMG, IMG)

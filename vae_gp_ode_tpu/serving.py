@@ -149,8 +149,9 @@ def export_forecaster(model, variables, gp, *, T, img=_IMG, batch=None,
 class Forecaster:
     """Callable wrapper around a (de)serialized exported forecaster."""
 
-    def __init__(self, exported):
+    def __init__(self, exported, manifest=None):
         self.exported = exported
+        self.manifest = manifest   # sidecar provenance (may be None)
 
     @property
     def input_shape(self):
@@ -165,21 +166,93 @@ class Forecaster:
         return self.exported.call(X, jnp.asarray(seed, jnp.int32))
 
 
+def _manifest_path(path):
+    return f'{path}.manifest.json'
+
+
 def save_forecaster(exported, path):
-    """Serialize an Exported (or Forecaster) to a standalone file."""
+    """Serialize an Exported (or Forecaster) to a standalone file, plus a
+    small sidecar manifest (``<path>.manifest.json``: jax version,
+    lowering platforms, calling-convention version, input shapes) so a
+    mismatched serving host fails with provenance instead of a bare
+    deserialization trace (VERDICT r4 #7)."""
     if isinstance(exported, Forecaster):
         exported = exported.exported
     blob = exported.serialize()
     with open(path, 'wb') as f:
         f.write(blob)
+    manifest = {
+        'format': 'vae_gp_ode_tpu.jaxexport', 'manifest_version': 1,
+        'jax_version': jax.__version__,
+        'calling_convention_version':
+            exported.calling_convention_version,
+        'platforms': list(exported.platforms),
+        'in_avals': [{'shape': [str(d) for d in a.shape],
+                      'dtype': str(a.dtype)} for a in exported.in_avals],
+        'out_avals': [{'shape': [str(d) for d in a.shape],
+                       'dtype': str(a.dtype)} for a in exported.out_avals],
+        'nbytes': len(blob),
+    }
+    with open(_manifest_path(path), 'w') as f:
+        json.dump(manifest, f, indent=1)
     return len(blob)
 
 
-def load_forecaster(path):
-    """Load a serialized artifact; returns a callable Forecaster."""
+def load_forecaster(path, check_platform=True):
+    """Load a serialized artifact; returns a callable Forecaster.
+
+    When the sidecar manifest written by :func:`save_forecaster` is
+    present, two failure modes become actionable errors instead of
+    low-level traces:
+
+    * the current backend is not among the artifact's lowering platforms
+      (the call would fail at execution time) -> RuntimeError naming both
+      and pointing at ``--platforms``; pass ``check_platform=False`` to
+      load anyway (e.g. to inspect shapes on a build box);
+    * deserialization itself fails (typically a jax version /
+      calling-convention gap) -> RuntimeError carrying the exporting
+      jax version vs this process's.
+
+    Artifacts without a manifest (pre-round-5, or hand-copied without the
+    sidecar) load exactly as before.
+    """
     with open(path, 'rb') as f:
         blob = f.read()
-    return Forecaster(jax_export.deserialize(blob))
+    manifest = None
+    try:
+        with open(_manifest_path(path)) as f:
+            manifest = json.load(f)
+    except (OSError, ValueError):
+        pass
+    if manifest is not None and check_platform:
+        plats = [p.lower() for p in manifest.get('platforms', [])]
+        backend = jax.default_backend().lower()
+        # jax lowers for 'tpu'/'cpu'/'cuda'; treat the experimental axon
+        # tunnel backend as tpu for this purpose
+        backend = 'tpu' if backend == 'axon' else backend
+        if plats and backend not in plats:
+            raise RuntimeError(
+                f'artifact {os.path.basename(path)!r} was lowered for '
+                f'platform(s) {plats} but this process runs on '
+                f'{backend!r}: calling it would fail at execution time. '
+                f'Re-export with --platforms {backend} (or multiple '
+                f'platforms), or pass check_platform=False to load '
+                f'anyway (inspection only).')
+    try:
+        exported = jax_export.deserialize(blob)
+    except Exception as e:
+        prov = ''
+        if manifest is not None:
+            prov = (f" (artifact exported with jax "
+                    f"{manifest.get('jax_version')}, calling convention "
+                    f"v{manifest.get('calling_convention_version')}; this "
+                    f"process runs jax {jax.__version__})")
+        raise RuntimeError(
+            f'failed to deserialize {os.path.basename(path)!r}{prov}: '
+            f'{type(e).__name__}: {e}') from e
+    fc = Forecaster(exported)
+    fc.manifest = manifest
+    return fc
 
 
 def load_run_dir(model_path):
