@@ -710,3 +710,98 @@ def test_df_flow_forward_fused_dispatch_matches_scan():
         rtol=5e-3, atol=1e-6)
     np.testing.assert_allclose(np.asarray(g_f.Um), np.asarray(g_s.Um),
                                rtol=5e-3, atol=1e-6)
+
+
+# --------------------------------------------------------------------
+# Grid-tiled wide-shape kernels (ops.pathwise_tiled / df_pathwise_tiled)
+# --------------------------------------------------------------------
+
+def test_tiled_pathwise_matches_reference():
+    """The (batch, k, feature-chunk) grid-tiled RBF kernel must match the
+    oracle at in-envelope AND past-envelope (q=12, S=1024) shapes,
+    including multi-chunk feature accumulation."""
+    from vae_gp_ode_tpu.ops.pathwise_tiled import tiled_pathwise_eval
+    for kwargs in (dict(N=6, S=16, M=8, D=4, K=4),
+                   dict(N=5, S=96, M=9, D=3, K=3),      # 3 chunks of 32
+                   dict(N=4, S=64, M=7, D=12, K=12)):   # q=12 panel
+        ops = _operands(jax.random.PRNGKey(11), **kwargs)
+        ref = pathwise_eval_reference(*ops)
+        out = tiled_pathwise_eval(*ops, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(kwargs))
+
+
+def test_tiled_pathwise_grads_match_reference():
+    """Hand-written tiled backward: every operand cotangent must match
+    the reference VJP, with accumulation across k and feature chunks."""
+    from vae_gp_ode_tpu.ops.pathwise_tiled import tiled_pathwise_eval
+    ops = _operands(jax.random.PRNGKey(12), N=6, S=48, M=8, D=4, K=5)
+
+    def loss(fn, *a):
+        out = fn(*a)
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+    gt = jax.grad(lambda *a: loss(
+        lambda *b: tiled_pathwise_eval(*b, interpret=True), *a),
+        argnums=tuple(range(8)))(*ops)
+    gr = jax.grad(lambda *a: loss(pathwise_eval_reference, *a),
+                  argnums=tuple(range(8)))(*ops)
+    names = ['x', 'omega', 'phase', 'weights', 'Z', 'nu', 'ls', 'var']
+    for n, a, b in zip(names, gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-5, err_msg=n)
+
+
+def test_tiled_pathwise_batch_grid():
+    """N > 512 exercises the batch grid axis in the tiled forward (the
+    backward falls back to the jnp VJP there, like ops.pathwise)."""
+    from vae_gp_ode_tpu.ops.pathwise_tiled import tiled_pathwise_eval
+    ops = _operands(jax.random.PRNGKey(13), N=530, S=32, M=8, D=4, K=4)
+    ref = pathwise_eval_reference(*ops)
+    out = tiled_pathwise_eval(*ops, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_tiled_df_pathwise_matches_reference():
+    from vae_gp_ode_tpu.ops.df_pathwise import df_pathwise_reference
+    from vae_gp_ode_tpu.ops.df_pathwise_tiled import tiled_df_pathwise_eval
+    for kwargs in (dict(N=5, S=8, M=7, D=4),
+                   dict(N=5, S=24, M=7, D=4),           # 3 chunks of 32
+                   dict(N=4, S=16, M=9, D=12)):         # q=12
+        args = _df_operands(jax.random.PRNGKey(14), **kwargs)
+        ref = df_pathwise_reference(*args)
+        out = tiled_df_pathwise_eval(*args, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-5,
+                                   err_msg=str(kwargs))
+
+
+def test_tiled_df_pathwise_grads_match_reference():
+    from vae_gp_ode_tpu.ops.df_pathwise import df_pathwise_reference
+    from vae_gp_ode_tpu.ops.df_pathwise_tiled import tiled_df_pathwise_eval
+    args = _df_operands(jax.random.PRNGKey(15), N=5, S=24, M=7, D=4)
+
+    def loss(fn, *a):
+        out = fn(*a)
+        return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
+
+    gt = jax.grad(lambda *a: loss(
+        lambda *b: tiled_df_pathwise_eval(*b, interpret=True), *a),
+        argnums=tuple(range(8)))(*args)
+    gr = jax.grad(lambda *a: loss(df_pathwise_reference, *a),
+                  argnums=tuple(range(8)))(*args)
+    names = ['x', 'omf', 'phf', 'G', 'Z', 'nur', 'ls2', 'var']
+    for n, a, b in zip(names, gt, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=1e-5, err_msg=n)
+
+
+def test_pick_s_tile():
+    from vae_gp_ode_tpu.ops.pathwise_tiled import pick_s_tile
+    assert pick_s_tile(1024) == 512
+    assert pick_s_tile(256) == 256
+    assert pick_s_tile(96) == 32
+    assert pick_s_tile(33) == 33        # no power-of-two divisor: 1 chunk
+    assert 1536 % pick_s_tile(1536) == 0

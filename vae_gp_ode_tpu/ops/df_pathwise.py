@@ -78,19 +78,15 @@ def _mm(a, b):
                    precision=_HI)
 
 
-def _df_eval_body(x, omf, phf, G, Zt, nurT, ls2, var_row, SD):
-    """In-kernel DF pathwise eval on VALUES (shared by the per-step kernel
-    and the whole-trajectory kernel in ops.df_flow_fused).
+def _df_update_body(x, Zt, nurT, ls2, var_row):
+    """In-kernel matrix-valued pathwise update on VALUES (the
+    S-independent half of the DF eval; shared by the single-block
+    kernels here, the trajectory kernel in ops.df_flow_fused, and the
+    feature-chunked kernel in ops.df_pathwise_tiled).
 
-    x (N, D); omf (D, SD); phf (1, SD); G (2SD, D); Zt (D, M);
-    nurT (D, M); ls2 (D, D) VALUES (indexed [j, i] scalars); var_row
-    (1, D). Returns f (N, D)."""
+    x (N, D); Zt (D, M); nurT (D, M); ls2 (D, D) VALUES (indexed [j, i]
+    scalars); var_row (1, D). Returns f_up (N, D)."""
     D = x.shape[1]
-    # ---- ORFF prior: trig features + contraction matmuls
-    xo = _mm(x, omf) + phf                               # (N, SD)
-    f = _mm(jnp.cos(xo), G[:SD]) + _mm(jnp.sin(xo), G[SD:])
-
-    # ---- matrix-valued pathwise update
     sq = (jnp.sum(x * x, axis=1, keepdims=True)
           + jnp.sum(Zt * Zt, axis=0, keepdims=True)
           - 2.0 * _mm(x, Zt))                            # (N, M)
@@ -110,7 +106,20 @@ def _df_eval_body(x, omf, phf, G, Zt, nurT, ls2, var_row, SD):
                            axis=1, keepdims=True)        # (N, 1)
             acc = term if acc is None else acc + term
         cols.append(acc)
-    return f + jnp.concatenate(cols, axis=1)
+    return jnp.concatenate(cols, axis=1)
+
+
+def _df_eval_body(x, omf, phf, G, Zt, nurT, ls2, var_row, SD):
+    """In-kernel DF pathwise eval on VALUES (shared by the per-step kernel
+    and the whole-trajectory kernel in ops.df_flow_fused).
+
+    x (N, D); omf (D, SD); phf (1, SD); G (2SD, D); Zt (D, M);
+    nurT (D, M); ls2 (D, D) VALUES (indexed [j, i] scalars); var_row
+    (1, D). Returns f (N, D)."""
+    # ---- ORFF prior: trig features + contraction matmuls
+    xo = _mm(x, omf) + phf                               # (N, SD)
+    f = _mm(jnp.cos(xo), G[:SD]) + _mm(jnp.sin(xo), G[SD:])
+    return f + _df_update_body(x, Zt, nurT, ls2, var_row)
 
 
 def _make_fwd_kernel(D, SD):
@@ -155,9 +164,6 @@ def _df_eval_vjp_body(x, omf, phf, G, Zt, nurT, ls2, var_row, gout, SD,
     recomputed f(x) (N, D) is appended to the return tuple (the
     trajectory adjoint needs it for the dt cotangent; almost free since
     every piece is already recomputed here)."""
-    D = x.shape[1]
-    f32 = x.dtype
-
     # ---- prior backward (recompute trig)
     xo = _mm(x, omf) + phf                               # (N, SD)
     cosv = jnp.cos(xo)
@@ -171,7 +177,23 @@ def _df_eval_vjp_body(x, omf, phf, G, Zt, nurT, ls2, var_row, gout, SD,
     domf = _mm(x.T, dxo)
     dx = _mm(dxo, omf.T)                                 # (N, D)
 
-    # ---- update backward (recompute per-pair intermediates)
+    upd = _df_update_vjp_body(x, Zt, nurT, ls2, var_row, gout,
+                              want_f=want_f)
+    (dx_u, dZt, dnurT, dls2, dvar) = upd[:5]
+    outs = (dx + dx_u, domf, dphf, dG_cos, dG_sin, dZt, dnurT, dls2, dvar)
+    if want_f:
+        return outs + (f_val + upd[5],)
+    return outs
+
+
+def _df_update_vjp_body(x, Zt, nurT, ls2, var_row, gout, want_f=False):
+    """In-kernel VJP of :func:`_df_update_body` on VALUES (the
+    S-independent half of the DF eval backward; recomputes the per-pair
+    intermediates). Returns (dx, dZt, dnurT, dls2, dvar_row), with the
+    recomputed f_up (N, D) appended when `want_f`."""
+    D = x.shape[1]
+    f32 = x.dtype
+
     sq = (jnp.sum(x * x, axis=1, keepdims=True)
           + jnp.sum(Zt * Zt, axis=0, keepdims=True)
           - 2.0 * _mm(x, Zt))                            # (N, M)
@@ -235,16 +257,16 @@ def _df_eval_vjp_body(x, omf, phf, G, Zt, nurT, ls2, var_row, gout, SD,
         [-jnp.sum(dsbar[k], axis=0, keepdims=True) for k in range(D)],
         axis=0)                                          # (D, M)
     # sq = |x|^2 + |Zt cols|^2 - 2 x Zt
-    dx_full = (dx + dx_ds
+    dx_full = (dx_ds
                + 2.0 * (jnp.sum(sqbar, axis=1, keepdims=True) * x
                         - _mm(sqbar, Zt.T)))
     dZt = (dzt_ds
            + 2.0 * (jnp.sum(sqbar, axis=0, keepdims=True) * Zt
                     - _mm(x.T, sqbar)))
     dnurT = jnp.concatenate(dnur_rows, axis=0)           # (D, M)
-    outs = (dx_full, domf, dphf, dG_cos, dG_sin, dZt, dnurT, dls2, dvar)
+    outs = (dx_full, dZt, dnurT, dls2, dvar)
     if want_f:
-        return outs + (f_val + jnp.concatenate(f_up_cols, axis=1),)
+        return outs + (jnp.concatenate(f_up_cols, axis=1),)
     return outs
 
 
