@@ -1,17 +1,23 @@
-"""Width-envelope dispatch gates for the Pallas kernels (round 4).
+"""Width-envelope dispatch gates for the Pallas kernels (rounds 4-5).
 
-Measured on a v5e (results/kernel_shapes_r4.jsonl): the fused kernels
-stop compiling - standalone, forward and/or backward - once the operand
-panel grows past the envelope they were tiled for (q=12 or S=1024 at
-batch 256 already fails; near-boundary compiles take 350-500 s before
-dying). ops.config.rbf_kernel_fits / df_kernel_fits gate every dispatch
-site so wider shapes run the jnp/XLA path, which compiles quickly and
+Measured on a v5e (results/kernel_shapes_r4.jsonl): the single-block
+fused kernels stop compiling - standalone, forward and/or backward -
+once the operand panel grows past the envelope they were tiled for
+(q=12 or S=1024 at batch 256 already fails; near-boundary compiles take
+350-500 s before dying). Round 5 (results/kernel_shapes_r5.jsonl): the
+grid-tiled RBF kernels (ops.pathwise_tiled) compile AND match the
+oracle at exactly those shapes, so wide dimwise-RBF shapes now dispatch
+to the tiled kernel up to the measured q=12/S=1024 corner
+(ops.config.rbf_tiled_fits); only shapes beyond it - and wide DF
+shapes, whose D^2-unrolled update body still kills the axon compile
+helper - fall back to the jnp/XLA path, which compiles quickly and
 trains at comparable throughput (results/envelope_probe_r4.jsonl).
 
-These tests pin the gate: at the reference envelope the traced train
-path MUST contain a pallas_call; at wide shapes it must NOT (it would
-kill the TPU compiler), and the jnp path it falls back to must produce
-finite values and gradients.
+These tests pin the dispatch: at the reference envelope the traced
+train path MUST contain a pallas_call (single-block kernels); at wide
+RBF shapes inside the tiled gate it must STILL contain one (the tiled
+kernel); past the tiled gate it must NOT, and the jnp path it falls
+back to must produce finite values and gradients.
 """
 
 import jax
@@ -53,11 +59,17 @@ def test_rbf_reference_envelope_dispatches_pallas():
     assert _flow_jaxpr_probe('RBF', D=6, S=256, M=100, fuse=False)
 
 
-def test_rbf_wide_shapes_fall_back_to_xla():
-    # S=1024 (q=6) and q(D)=12 both measured-fatal on the v5e compiler
-    assert not _flow_jaxpr_probe('RBF', D=6, S=1024, M=100, fuse=True)
-    assert not _flow_jaxpr_probe('RBF', D=12, S=256, M=100, fuse=True)
-    assert not _flow_jaxpr_probe('RBF', D=6, S=2048, M=100, fuse=False)
+def test_rbf_wide_shapes_dispatch_tiled_pallas():
+    """S=1024 / q(D)=12 are fatal for the SINGLE-BLOCK kernels but pass
+    on hardware with the grid-tiled kernels (kernel_shapes_r5.jsonl), so
+    the scan path must still trace a pallas_call there."""
+    assert _flow_jaxpr_probe('RBF', D=6, S=1024, M=100, fuse=True)
+    assert _flow_jaxpr_probe('RBF', D=12, S=256, M=100, fuse=True)
+
+
+def test_rbf_beyond_tiled_gate_falls_back_to_xla():
+    # 6*(4096+100) = 25176 > the measured tiled corner 12*(1024+100)
+    assert not _flow_jaxpr_probe('RBF', D=6, S=4096, M=100, fuse=False)
 
 
 def test_df_reference_envelope_dispatches_pallas():
@@ -78,6 +90,12 @@ def test_gate_formulas_pin_measured_boundary():
     assert not ops_config.rbf_kernel_fits(16, 256, 100)   # q16
     assert not ops_config.rbf_kernel_fits(6, 1024, 100)   # S1024
     assert not ops_config.df_kernel_fits(6, 1024, 100)
+    # grid-tiled gate: measured-good wide shapes in, unprobed ones out
+    # (kernel_shapes_r5.jsonl)
+    assert ops_config.rbf_tiled_fits(12, 256, 100)
+    assert ops_config.rbf_tiled_fits(6, 1024, 100)
+    assert ops_config.rbf_tiled_fits(12, 1024, 100)       # the corner
+    assert not ops_config.rbf_tiled_fits(6, 4096, 100)
 
 
 def test_ignore_width_gates_override():

@@ -721,12 +721,12 @@ def test_tiled_pathwise_matches_reference():
     oracle at in-envelope AND past-envelope (q=12, S=1024) shapes,
     including multi-chunk feature accumulation."""
     from vae_gp_ode_tpu.ops.pathwise_tiled import tiled_pathwise_eval
-    for kwargs in (dict(N=6, S=16, M=8, D=4, K=4),
-                   dict(N=5, S=96, M=9, D=3, K=3),      # 3 chunks of 32
-                   dict(N=4, S=64, M=7, D=12, K=12)):   # q=12 panel
+    for kwargs, s_tile in ((dict(N=6, S=16, M=8, D=4, K=4), None),
+                           (dict(N=5, S=96, M=9, D=3, K=3), 32),  # 3 chunks
+                           (dict(N=4, S=64, M=7, D=12, K=12), None)):  # q=12
         ops = _operands(jax.random.PRNGKey(11), **kwargs)
         ref = pathwise_eval_reference(*ops)
-        out = tiled_pathwise_eval(*ops, interpret=True)
+        out = tiled_pathwise_eval(*ops, interpret=True, s_tile=s_tile)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=str(kwargs))
@@ -743,7 +743,7 @@ def test_tiled_pathwise_grads_match_reference():
         return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
 
     gt = jax.grad(lambda *a: loss(
-        lambda *b: tiled_pathwise_eval(*b, interpret=True), *a),
+        lambda *b: tiled_pathwise_eval(*b, interpret=True, s_tile=16), *a),
         argnums=tuple(range(8)))(*ops)
     gr = jax.grad(lambda *a: loss(pathwise_eval_reference, *a),
                   argnums=tuple(range(8)))(*ops)
@@ -767,12 +767,13 @@ def test_tiled_pathwise_batch_grid():
 def test_tiled_df_pathwise_matches_reference():
     from vae_gp_ode_tpu.ops.df_pathwise import df_pathwise_reference
     from vae_gp_ode_tpu.ops.df_pathwise_tiled import tiled_df_pathwise_eval
-    for kwargs in (dict(N=5, S=8, M=7, D=4),
-                   dict(N=5, S=24, M=7, D=4),           # 3 chunks of 32
-                   dict(N=4, S=16, M=9, D=12)):         # q=12
+    for kwargs, sd_tile in ((dict(N=5, S=8, M=7, D=4), None),
+                            (dict(N=5, S=24, M=7, D=4), 32),  # 3 chunks
+                            (dict(N=4, S=16, M=9, D=12), None)):  # q=12
         args = _df_operands(jax.random.PRNGKey(14), **kwargs)
         ref = df_pathwise_reference(*args)
-        out = tiled_df_pathwise_eval(*args, interpret=True)
+        out = tiled_df_pathwise_eval(*args, interpret=True,
+                                     sd_tile=sd_tile)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-4, atol=2e-5,
                                    err_msg=str(kwargs))
@@ -788,7 +789,8 @@ def test_tiled_df_pathwise_grads_match_reference():
         return jnp.sum(out * jnp.arange(out.size).reshape(out.shape))
 
     gt = jax.grad(lambda *a: loss(
-        lambda *b: tiled_df_pathwise_eval(*b, interpret=True), *a),
+        lambda *b: tiled_df_pathwise_eval(*b, interpret=True, sd_tile=32),
+        *a),
         argnums=tuple(range(8)))(*args)
     gr = jax.grad(lambda *a: loss(df_pathwise_reference, *a),
                   argnums=tuple(range(8)))(*args)
@@ -799,9 +801,13 @@ def test_tiled_df_pathwise_grads_match_reference():
 
 
 def test_pick_s_tile():
+    """Chunks must be 128-multiples (Mosaic lane divisibility - measured
+    round 5: 32-wide chunk blocks lower in interpret mode but die on the
+    real chip) or the full S when S has no 128-multiple divisor."""
     from vae_gp_ode_tpu.ops.pathwise_tiled import pick_s_tile
     assert pick_s_tile(1024) == 512
     assert pick_s_tile(256) == 256
-    assert pick_s_tile(96) == 32
-    assert pick_s_tile(33) == 33        # no power-of-two divisor: 1 chunk
-    assert 1536 % pick_s_tile(1536) == 0
+    assert pick_s_tile(96) == 96        # no 128-multiple divisor: 1 chunk
+    assert pick_s_tile(33) == 33
+    assert pick_s_tile(1536) == 512
+    assert pick_s_tile(384) == 384

@@ -201,54 +201,65 @@ def transplant_gp(gp_ref, gp):
             gp.kernel.unconstrained_variance)
 
 
-def build_ref_model(order, kernel, q=Q):
+def build_ref_model(order, kernel, q=Q, q_diag=False, dimwise=True):
     args = types.SimpleNamespace(
         D_in=q * order, D_out=q, num_inducing=M, num_features=S,
-        dimwise=True, q_diag=False, device='cpu', kernel=kernel,
+        dimwise=dimwise, q_diag=q_diag, device='cpu', kernel=kernel,
         ode=order, solver='euler', use_adjoint=False, frames=5,
         n_filt=NF, latent_dim=q, Ndata=NDATA, dt=DT)
     return ref_create.build_model(args)
 
 
-def make_noise(rng, D_in, D_out, weights_rows):
+def make_noise(rng, D_in, D_out, weights_rows, dimwise=True):
+    omega_shape = (D_in, S, D_out) if dimwise else (D_in, S)
+    phase_shape = (1, S, D_out) if dimwise else (1, S)
     return {
-        'omega': rng.randn(D_in, S, D_out).astype(np.float32),
-        'phase_u': rng.rand(1, S, D_out).astype(np.float32),
+        'omega': rng.randn(*omega_shape).astype(np.float32),
+        'phase_u': rng.rand(*phase_shape).astype(np.float32),
         'weights': rng.randn(weights_rows, D_out).astype(np.float32),
         'epsilon': rng.randn(M, D_out).astype(np.float32),
     }
 
 
-def nontrivial_gp(gp, rng, D_out):
+def nontrivial_gp(gp, rng, D_out, q_diag=False):
     """Make q(u) non-trivial so the pathwise update term matters."""
-    Ls = np.stack([np.tril(rng.randn(M, M) * 0.05) + 0.3 * np.eye(M)
-                   for _ in range(D_out)]).astype(np.float32)
+    from vae_gp_ode_tpu.core.transforms import invsoftplus
+    if q_diag:
+        scales = rng.rand(M, D_out).astype(np.float32) * 0.3 + 0.05
+        Us_sqrt = invsoftplus(jnp.asarray(scales))
+    else:
+        Ls = np.stack([np.tril(rng.randn(M, M) * 0.05) + 0.3 * np.eye(M)
+                       for _ in range(D_out)]).astype(np.float32)
+        Us_sqrt = pack_tril(jnp.asarray(Ls))
     return gp.replace(
         Um=jnp.asarray(rng.randn(M, D_out).astype(np.float32) * 0.3),
-        Us_sqrt=pack_tril(jnp.asarray(Ls)))
+        Us_sqrt=Us_sqrt)
 
 
 # ---------------------------------------------------------------------------
 # shared protocol: run both stacks end-to-end with identical noise
 # ---------------------------------------------------------------------------
 
-def run_both(order, kernel, patch_noise, L=1):
+def run_both(order, kernel, patch_noise, L=1, q_diag=False, dimwise=True):
     q = Q
     rng = np.random.RandomState(7 + order + (kernel == 'DF'))
     model, variables, gp = init_model(
         jax.random.PRNGKey(0), latent_dim=q, n_filt=NF, order=order,
         frames=5, num_features=S, num_inducing=M, kernel=kernel,
+        q_diag=q_diag, dimwise=dimwise,
         batch=N, T=T, dt=DT, solver='euler')
-    gp = nontrivial_gp(gp, rng, q)
+    gp = nontrivial_gp(gp, rng, q, q_diag=q_diag)
 
     weights_rows = 2 * S if kernel == 'DF' else S
-    noise = make_noise(rng, q * order, q, weights_rows)
+    noise = make_noise(rng, q * order, q, weights_rows,
+                       dimwise=(dimwise or kernel == 'DF'))
     z0_eps = rng.randn(N, q).astype(np.float32)
     v0_eps = rng.randn(N, q).astype(np.float32)
     X = ((rng.rand(N, T, 1, 28, 28).astype(np.float32)) - 0.1307) / 0.3081
 
     # ---- reference side (the real modules) ----
-    ref_model = build_ref_model(order, kernel)
+    ref_model = build_ref_model(order, kernel, q_diag=q_diag,
+                                dimwise=dimwise)
     p, bs = variables['params'], variables['batch_stats']
     transplant_encoder(ref_model.vae.encoder, p['encoder'], bs['encoder'])
     transplant_decoder(ref_model.vae.decoder, p['decoder'], bs['decoder'])
@@ -309,7 +320,10 @@ def run_both(order, kernel, patch_noise, L=1):
               z0=np.asarray(z0_j), zt=np.asarray(zt_j),
               Xrec=np.asarray(Xrec_j), lhood=-float(nll_j),
               kl_reg=float(klreg_j), kl_u=float(klu_j), loss=float(loss_j))
-    return ref, jx, (gp, sample, noise, ref_model)
+    ctx = dict(gp=gp, sample=sample, noise=noise, ref_model=ref_model,
+               model=model, variables=variables,
+               z0=(np.asarray(z0_j), z0_r.numpy()))
+    return ref, jx, ctx
 
 
 def assert_parity(ref, jx, zt_tol=(2e-4, 2e-4)):
@@ -357,9 +371,10 @@ def test_gp_sample_parity_at_arbitrary_inputs(patch_ref_noise):
     """f(x) = rff_forward(x) + f_update(x) (svpy.py:123-142) against the
     real SVGP_Layer.forward after a real build_cache (svpy.py:103-121)."""
     for kernel in ('RBF', 'DF'):
-        _, _, (gp, sample, noise, ref_model) = run_both(
+        _, _, ctx = run_both(
             order=1, kernel=kernel, patch_noise=patch_ref_noise)
-        gp_ref = ref_model.flow.odefunc.diffeq
+        gp, sample = ctx['gp'], ctx['sample']
+        gp_ref = ctx['ref_model'].flow.odefunc.diffeq
         with torch.no_grad():
             gp_ref.build_cache()
             x = np.random.RandomState(3).randn(9, Q).astype(np.float32)
@@ -372,9 +387,10 @@ def test_gp_sample_parity_at_arbitrary_inputs(patch_ref_noise):
 def test_df_gram_and_nu_against_reference(patch_ref_noise):
     """DF internals: the (M*D, M*D) gram (kernels.py:265-303) and the nu
     solve (kernels.py:376-387) match the real modules exactly."""
-    _, _, (gp, sample, noise, ref_model) = run_both(
+    _, _, ctx = run_both(
         order=1, kernel='DF', patch_noise=patch_ref_noise)
-    gp_ref = ref_model.flow.odefunc.diffeq
+    gp, sample = ctx['gp'], ctx['sample']
+    gp_ref = ctx['ref_model'].flow.odefunc.diffeq
     with torch.no_grad():
         Z = gp_ref.inducing_loc()
         Ku_ref = gp_ref.kern.K(Z).numpy()
@@ -390,8 +406,9 @@ def test_eps_guarded_objective_against_reference_except_branch(
         patch_ref_noise):
     """The --eps_guard objective reproduces the reference's except-branch
     formula log(eps+z)x + log(eps+1-z)(1-x) (vae.py:149) exactly."""
-    ref, jx, (gp, sample, noise, ref_model) = run_both(
+    ref, jx, ctx = run_both(
         order=1, kernel='RBF', patch_noise=patch_ref_noise)
+    gp = ctx['gp']
     Xrec = jnp.asarray(ref['Xrec'])
     X = jnp.asarray(
         (np.random.RandomState(11).rand(N, T, 1, 28, 28).astype(np.float32)

@@ -193,13 +193,21 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
         from vae_gp_ode_tpu.ops import config as ops_config
         from vae_gp_ode_tpu.ops.pathwise import (
             fused_pathwise_eval, rbf_fused_operands)
-        if (ops_config.use_pallas()
-                and ops_config.rbf_kernel_fits(
-                    s.rff.phase.shape[2], s.rff.phase.shape[1],
-                    p.inducing_loc.shape[0])):
-            return fused_pathwise_eval(
-                x, *rbf_fused_operands(p, s),
-                ops_config.interpret_mode())
+        if ops_config.use_pallas():
+            K, S = s.rff.phase.shape[2], s.rff.phase.shape[1]
+            M = p.inducing_loc.shape[0]
+            if ops_config.rbf_kernel_fits(K, S, M):
+                return fused_pathwise_eval(
+                    x, *rbf_fused_operands(p, s),
+                    ops_config.interpret_mode())
+            if ops_config.rbf_tiled_fits(K, S, M):
+                # wide shapes: grid-tiled kernel (ops.pathwise_tiled) -
+                # the single-block panel would kill the v5e compiler
+                from vae_gp_ode_tpu.ops.pathwise_tiled import (
+                    tiled_pathwise_eval)
+                return tiled_pathwise_eval(
+                    x, *rbf_fused_operands(p, s),
+                    ops_config.interpret_mode())
     f_prior = rbfk.rbf_rff_eval(p.kernel, s.rff, x)
     f_up = rbfk.rbf_f_update(p.kernel, s.nu, x, p.inducing_loc)
     return f_prior + f_up

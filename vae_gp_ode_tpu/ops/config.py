@@ -88,6 +88,25 @@ def rbf_kernel_fits(K, S, M):
     return _ignore_width_gates or K * (S + M) <= _RBF_MAX_COLS
 
 
+# --- grid-tiled wide-shape envelope (round 5) --------------------------
+# ops.pathwise_tiled chunks the panel over a (batch, k, feature-chunk)
+# grid so each program sees an (s_tile + M)-wide panel for one output
+# dim; measured on hardware (results/kernel_shapes_r5.jsonl): q=12 and
+# S=1024 - the exact shapes that kill the single-block kernels - compile
+# and match the jnp oracle to 3e-7, forward AND hand-written backward.
+# The gate is set at the widest MEASURED shape (q=12, S=1024, M=100),
+# not an extrapolation: compile time grows with the panel (245 s fwd at
+# the corner) and wider shapes are unprobed.
+_RBF_TILED_MAX_COLS = 12 * (1024 + 100)
+
+
+def rbf_tiled_fits(K, S, M):
+    """True iff the grid-tiled dimwise-RBF kernels (ops.pathwise_tiled)
+    are inside the hardware-validated wide-shape envelope. Checked after
+    :func:`rbf_kernel_fits` fails: single-block is faster in-envelope."""
+    return _ignore_width_gates or K * (S + M) <= _RBF_TILED_MAX_COLS
+
+
 def df_kernel_fits(D, S, M):
     """Same gate for the divergence-free (matrix-valued) kernels."""
     return _ignore_width_gates or D * (2 * S + M) <= _DF_MAX_COLS

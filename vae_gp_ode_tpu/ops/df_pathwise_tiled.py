@@ -55,11 +55,12 @@ def _fwd_kernel(x_ref, omf_ref, phf_ref, gcos_ref, gsin_ref, zt_ref,
 
 
 def _pallas_forward_tiled(x, omf, phf, G, Z, nur, ls2, var,
-                          interpret=False):
+                          interpret=False, sd_tile=None):
     N, D = x.shape
     SD = omf.shape[1]
     M = Z.shape[0]
-    t = pick_s_tile(SD)
+    t = sd_tile or pick_s_tile(SD)
+    assert SD % t == 0, (SD, t)
     grid = (SD // t,)
     full = lambda s: (0, 0)  # noqa: E731
     return pl.pallas_call(
@@ -123,12 +124,13 @@ def _bwd_kernel(x_ref, omf_ref, phf_ref, gcos_ref, gsin_ref, zt_ref,
 
 
 def _pallas_backward_tiled(x, omf, phf, G, Z, nur, ls2, var, gout,
-                           interpret=False):
+                           interpret=False, sd_tile=None):
     N, D = x.shape
     SD = omf.shape[1]
     M = Z.shape[0]
     f32 = x.dtype
-    t = pick_s_tile(SD)
+    t = sd_tile or pick_s_tile(SD)
+    assert SD % t == 0, (SD, t)
     grid = (SD // t,)
     full = lambda s: (0, 0)  # noqa: E731
     outs = (
@@ -185,9 +187,9 @@ def _pallas_backward_tiled(x, omf, phf, G, Z, nur, ls2, var, gout,
     return dx, domf, dphf, dG, dZt.T, dnurT.T, dls2, dvar[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
 def _tiled_df_pathwise_eval_f32(x, omf, phf, G, Z, nur, ls2, var,
-                                interpret=False):
+                                interpret=False, sd_tile=None):
     """Grid-tiled Pallas forward AND backward for the DF pathwise eval
     (f32 operands only). Large batches (N > 512) fall back to the jnp
     reference in BOTH directions, like ops.df_pathwise."""
@@ -195,36 +197,38 @@ def _tiled_df_pathwise_eval_f32(x, omf, phf, G, Z, nur, ls2, var,
         with jax.default_matmul_precision('highest'):
             return df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
     return _pallas_forward_tiled(x, omf, phf, G, Z, nur, ls2, var,
-                                 interpret=interpret)
+                                 interpret=interpret, sd_tile=sd_tile)
 
 
-def _fwd(x, omf, phf, G, Z, nur, ls2, var, interpret):
+def _fwd(x, omf, phf, G, Z, nur, ls2, var, interpret, sd_tile):
     if x.shape[0] > 512:
         with jax.default_matmul_precision('highest'):
             out = df_pathwise_reference(x, omf, phf, G, Z, nur, ls2, var)
     else:
         out = _pallas_forward_tiled(x, omf, phf, G, Z, nur, ls2, var,
-                                    interpret=interpret)
+                                    interpret=interpret, sd_tile=sd_tile)
     return out, (x, omf, phf, G, Z, nur, ls2, var)
 
 
-def _bwd(interpret, res, g):
+def _bwd(interpret, sd_tile, res, g):
     if res[0].shape[0] > 512:
         with jax.default_matmul_precision('highest'):
             _, vjp = jax.vjp(df_pathwise_reference, *res)
             return vjp(g)
-    return _pallas_backward_tiled(*res, g, interpret=interpret)
+    return _pallas_backward_tiled(*res, g, interpret=interpret,
+                                  sd_tile=sd_tile)
 
 
 _tiled_df_pathwise_eval_f32.defvjp(_fwd, _bwd)
 
 
 def tiled_df_pathwise_eval(x, omf, phf, G, Z, nur, ls2, var,
-                           interpret=False):
+                           interpret=False, sd_tile=None):
     """Grid-tiled fused DF pathwise eval for shapes past the single-block
     envelope. Same semantics as :func:`df_pathwise_reference` (the parity
-    oracle)."""
+    oracle). `sd_tile` overrides the ORFF-axis chunk size (tests exercise
+    multi-chunk accumulation; hardware uses the legal default)."""
     from vae_gp_ode_tpu.ops.f32cast import f32_args
     args, had64 = f32_args((x, omf, phf, G, Z, nur, ls2, var))
-    out = _tiled_df_pathwise_eval_f32(*args, interpret)
+    out = _tiled_df_pathwise_eval_f32(*args, interpret, sd_tile)
     return out.astype(x.dtype) if had64 else out
