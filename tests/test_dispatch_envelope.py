@@ -5,13 +5,13 @@ fused kernels stop compiling - standalone, forward and/or backward -
 once the operand panel grows past the envelope they were tiled for
 (q=12 or S=1024 at batch 256 already fails; near-boundary compiles take
 350-500 s before dying). Round 5 (results/kernel_shapes_r5.jsonl): the
-grid-tiled RBF kernels (ops.pathwise_tiled) compile AND match the
-oracle at exactly those shapes, so wide dimwise-RBF shapes now dispatch
-to the tiled kernel up to the measured q=12/S=1024 corner
-(ops.config.rbf_tiled_fits); only shapes beyond it - and wide DF
-shapes, whose D^2-unrolled update body still kills the axon compile
-helper - fall back to the jnp/XLA path, which compiles quickly and
-trains at comparable throughput (results/envelope_probe_r4.jsonl).
+grid-tiled kernels (ops.pathwise_tiled / ops.df_pathwise_tiled, the
+latter with the D^2 update body split over a per-output-dim grid axis)
+compile AND match the oracle at exactly those shapes, so wide dimwise-
+RBF and DF shapes now dispatch to the tiled kernels up to the measured
+corners (ops.config.rbf_tiled_fits / df_tiled_fits); only shapes beyond
+them fall back to the jnp/XLA path, which compiles quickly and trains
+at comparable throughput (results/envelope_probe_r4.jsonl).
 
 These tests pin the dispatch: at the reference envelope the traced
 train path MUST contain a pallas_call (single-block kernels); at wide
@@ -76,9 +76,19 @@ def test_df_reference_envelope_dispatches_pallas():
     assert _flow_jaxpr_probe('DF', D=6, S=256, M=100, fuse=True)
 
 
-def test_df_wide_shapes_fall_back_to_xla():
-    assert not _flow_jaxpr_probe('DF', D=6, S=1024, M=100, fuse=True)
-    assert not _flow_jaxpr_probe('DF', D=6, S=1024, M=100, fuse=False)
+def test_df_wide_shapes_dispatch_tiled_pallas():
+    """Round-5 redesign (per-output-dim grid split of the D^2 update
+    body): DF at S=1024 / q=12 compiles and matches the oracle on
+    hardware (kernel_shapes_r5.jsonl), so the scan path must trace a
+    pallas_call there too."""
+    assert _flow_jaxpr_probe('DF', D=6, S=1024, M=100, fuse=True)
+    assert _flow_jaxpr_probe('DF', D=12, S=256, M=100, fuse=True)
+
+
+def test_df_beyond_tiled_gate_falls_back_to_xla():
+    # 6*(2*4096+100) = 49752 > the measured tiled corner 6*(2*1024+100)
+    assert not _flow_jaxpr_probe('DF', D=6, S=4096, M=100, fuse=True)
+    assert not _flow_jaxpr_probe('DF', D=6, S=4096, M=100, fuse=False)
 
 
 def test_gate_formulas_pin_measured_boundary():
@@ -96,6 +106,10 @@ def test_gate_formulas_pin_measured_boundary():
     assert ops_config.rbf_tiled_fits(6, 1024, 100)
     assert ops_config.rbf_tiled_fits(12, 1024, 100)       # the corner
     assert not ops_config.rbf_tiled_fits(6, 4096, 100)
+    assert ops_config.df_tiled_fits(6, 1024, 100)         # measured ok
+    assert ops_config.df_tiled_fits(12, 256, 100)         # measured ok
+    assert not ops_config.df_tiled_fits(12, 1024, 100)    # unprobed
+    assert not ops_config.df_tiled_fits(6, 4096, 100)
 
 
 def test_ignore_width_gates_override():

@@ -177,15 +177,25 @@ def fn_eval(p: SVGPParams, s: FnSample, x):
     """
     if p.kernel_name == 'DF':
         from vae_gp_ode_tpu.ops import config as ops_config
-        if (ops_config.use_pallas() and s.df_G is not None
-                and ops_config.df_kernel_fits(
-                    x.shape[1], s.rff.phase.shape[1],
-                    p.inducing_loc.shape[0])):
-            from vae_gp_ode_tpu.ops.df_pathwise import (
-                df_fused_operands, fused_df_pathwise_eval)
-            return fused_df_pathwise_eval(
-                x, *df_fused_operands(p, s, x.shape[1]),
-                ops_config.interpret_mode())
+        if ops_config.use_pallas() and s.df_G is not None:
+            D, S = x.shape[1], s.rff.phase.shape[1]
+            M = p.inducing_loc.shape[0]
+            if ops_config.df_kernel_fits(D, S, M):
+                from vae_gp_ode_tpu.ops.df_pathwise import (
+                    df_fused_operands, fused_df_pathwise_eval)
+                return fused_df_pathwise_eval(
+                    x, *df_fused_operands(p, s, D),
+                    ops_config.interpret_mode())
+            if ops_config.df_tiled_fits(D, S, M):
+                # wide shapes: (output-dim, feature-chunk) grid-tiled
+                # kernel - the single-block panel kills the v5e compiler
+                from vae_gp_ode_tpu.ops.df_pathwise import (
+                    df_fused_operands)
+                from vae_gp_ode_tpu.ops.df_pathwise_tiled import (
+                    tiled_df_pathwise_eval)
+                return tiled_df_pathwise_eval(
+                    x, *df_fused_operands(p, s, D),
+                    interpret=ops_config.interpret_mode())
         f_prior = dfk.df_rff_eval(p.kernel, s.rff, x, G=s.df_G)
         f_up = dfk.df_f_update(p.kernel, s.nu, x, p.inducing_loc)
         return f_prior + f_up

@@ -112,6 +112,24 @@ def df_kernel_fits(D, S, M):
     return _ignore_width_gates or D * (2 * S + M) <= _DF_MAX_COLS
 
 
+# ops.df_pathwise_tiled splits the DF evaluation over a per-output-dim x
+# feature-chunk grid (the first, feature-only tiling still died in the
+# compile helper: the D^2-unrolled update body was the killer, not just
+# the panel). Measured on hardware (results/kernel_shapes_r5.jsonl):
+# D=6/S=1024 (566 s fwd compile) and D=12/S=256 both compile and match
+# the jnp oracle to 5e-7 rel, forward AND hand-written backward. Gate at
+# the widest MEASURED width D*(2S+M) = 6*(2048+100); D=12/S=1024 is
+# unprobed (extrapolating past a 566-s compile is not justified).
+_DF_TILED_MAX_COLS = 6 * (2 * 1024 + 100)
+
+
+def df_tiled_fits(D, S, M):
+    """True iff the grid-tiled DF kernels (ops.df_pathwise_tiled) are
+    inside the hardware-validated wide-shape envelope. Checked after
+    :func:`df_kernel_fits` fails: single-block is faster in-envelope."""
+    return _ignore_width_gates or D * (2 * S + M) <= _DF_TILED_MAX_COLS
+
+
 def interpret_mode():
     """True when the Pallas kernels must run in interpret mode (non-TPU
     backend). Lets tests force the *real dispatch path* (incl. the
