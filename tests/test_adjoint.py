@@ -58,6 +58,7 @@ def test_adjoint_grads_close_to_backprop(method):
                                rtol=tol, atol=tol * 0.1)
 
 
+@pytest.mark.slow
 def test_flow_forward_adjoint_gp():
     """Adjoint flow over a GP sample: values match the direct flow, grads
     to GP hyperparameters are finite and close."""
@@ -148,6 +149,7 @@ def test_adjoint_adaptive_and_multistep_grads(method):
                                rtol=tol, atol=tol * 0.1)
 
 
+@pytest.mark.slow
 def test_flow_forward_adjoint_dopri5_gp():
     """The full GP flow under --use_adjoint --solver dopri5 (the exact
     reference capability, flow.py:76-85 + main.py:85)."""
@@ -177,6 +179,7 @@ def test_flow_forward_adjoint_dopri5_gp():
                                rtol=0.05, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_flow_forward_adjoint_bdf_gp():
     """bdf adjoint through the real GP field at a non-toy parameter count
     (S=64 RFF draws: the flat theta is thousands of floats). The old

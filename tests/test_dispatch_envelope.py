@@ -20,6 +20,7 @@ kernel); past the tiled gate it must NOT, and the jnp path it falls
 back to must produce finite values and gradients.
 """
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,11 +55,13 @@ def _flow_jaxpr_probe(kern, D, S, M, fuse):
     return has
 
 
+@pytest.mark.slow
 def test_rbf_reference_envelope_dispatches_pallas():
     assert _flow_jaxpr_probe('RBF', D=6, S=256, M=100, fuse=True)
     assert _flow_jaxpr_probe('RBF', D=6, S=256, M=100, fuse=False)
 
 
+@pytest.mark.slow
 def test_rbf_wide_shapes_dispatch_tiled_pallas():
     """S=1024 / q(D)=12 are fatal for the SINGLE-BLOCK kernels but pass
     on hardware with the grid-tiled kernels (kernel_shapes_r5.jsonl), so
@@ -72,10 +75,12 @@ def test_rbf_beyond_tiled_gate_falls_back_to_xla():
     assert not _flow_jaxpr_probe('RBF', D=6, S=4096, M=100, fuse=False)
 
 
+@pytest.mark.slow
 def test_df_reference_envelope_dispatches_pallas():
     assert _flow_jaxpr_probe('DF', D=6, S=256, M=100, fuse=True)
 
 
+@pytest.mark.slow
 def test_df_wide_shapes_dispatch_tiled_pallas():
     """Round-5 redesign (per-output-dim grid split of the D^2 update
     body): DF at S=1024 / q=12 compiles and matches the oracle on

@@ -45,6 +45,7 @@ def test_fn_eval_golden():
     np.testing.assert_allclose(float(svgp_kl(gp)), 96.185394, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_model_loss_golden():
     model, variables, gp = init_model(
         jax.random.PRNGKey(0), latent_dim=3, n_filt=4, order=1,

@@ -87,6 +87,7 @@ def test_train_step_decreases_loss(setup):
     assert losses[-1] < losses[0], f'{losses[0]} -> {losses[-1]}'
 
 
+@pytest.mark.slow
 def test_train_step_L_schedule_recompiles_cleanly(setup):
     model, variables, gp = setup
     state, tx = create_train_state(model, variables, gp)
@@ -111,6 +112,7 @@ def test_eval_step(setup):
     np.testing.assert_allclose(float(mse), float(manual), rtol=1e-6)
 
 
+@pytest.mark.slow
 def test_second_order_model():
     model, variables, gp = init_model(
         jax.random.PRNGKey(20), latent_dim=2, n_filt=4, order=2, frames=3,
@@ -135,6 +137,7 @@ def test_second_order_model():
                for b, a in zip(leaves_before, leaves_after))
 
 
+@pytest.mark.slow
 def test_df_kernel_model():
     model, variables, gp = init_model(
         jax.random.PRNGKey(30), latent_dim=3, n_filt=4, order=1,
@@ -217,6 +220,7 @@ def test_epoch_eval_step_reference_bn_semantics(setup):
     assert not np.allclose(float(mse_t), float(mse_e))
 
 
+@pytest.mark.slow
 def test_train_epoch_matches_per_step_path(setup):
     """The whole-epoch scan must produce the same state/metrics as the
     per-step loop given identical keys and batch order."""
@@ -251,6 +255,7 @@ def test_train_epoch_matches_per_step_path(setup):
     assert int(s_e.step) == 3
 
 
+@pytest.mark.slow
 def test_run_epoch_with_tail_matches_per_step_loop(setup):
     """Non-divisor split (VERDICT r2 #9): the scanned epoch + one tail
     dispatch must reproduce the per-step loop over head batches then the
@@ -293,6 +298,7 @@ def test_run_epoch_with_tail_matches_per_step_loop(setup):
     assert int(s_e.step) == 3
 
 
+@pytest.mark.slow
 def test_run_epoch_with_tail_none_tail_is_identity(setup):
     """With tail=None the helper must reduce to the plain scanned epoch
     (key still split the same way, so results match the tail path's
@@ -318,6 +324,7 @@ def test_run_epoch_with_tail_none_tail_is_identity(setup):
     assert int(s_t.step) == int(s_p.step) == 2
 
 
+@pytest.mark.slow
 def test_frozen_vae_order2_velocity_encoder_stays_train_mode():
     """The reference's pretrained path eval()s encoder and decoder but NOT
     encoder_v (main.py:163-164), so a frozen order-2 run keeps the
@@ -349,6 +356,7 @@ def test_frozen_vae_order2_velocity_encoder_stays_train_mode():
     assert moved, 'encoder_v running stats must update (train-mode BN)'
 
 
+@pytest.mark.slow
 def test_train_segment_matches_per_epoch_driver(setup):
     """make_train_segment (E epochs + ragged tail + monitoring eval in
     ONE dispatch) must reproduce the per-epoch driver sequence - same
@@ -418,6 +426,7 @@ def test_train_segment_matches_per_epoch_driver(setup):
     assert m_n['loss'].shape == (E, I) and mses_n.shape == (E,)
 
 
+@pytest.mark.slow
 def test_train_segment_freeze_vae_branch(setup):
     """Frozen-VAE segment: eval-mode monitoring eval (no BN mutation),
     VAE weights unchanged after a segment, GP still trains."""

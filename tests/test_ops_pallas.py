@@ -186,6 +186,7 @@ def test_fused_euler_flow_nonuniform_grid():
     assert np.abs(np.asarray(g)).min() > 0
 
 
+@pytest.mark.slow
 def test_bdf_through_pallas_dispatch():
     """Regression (round-1 advisor finding): the bdf Newton iteration must
     not apply forward-mode AD through the custom_vjp Pallas kernel.
@@ -300,6 +301,7 @@ def _flow_args(key, N, S=8, M=6, D=3):
             jax.random.uniform(ks[7], (D,), minval=0.3, maxval=1.0))
 
 
+@pytest.mark.slow
 def test_fused_euler_flow_tiled_grid(monkeypatch):
     """Round-2 VERDICT #1 regression: the fused trajectory kernel was a
     single-block VMEM program that failed to compile at batch >= 1280 on
@@ -354,6 +356,7 @@ def test_fused_euler_flow_tiled_grid(monkeypatch):
                                    rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_euler_flow_tiled_vmapped_L(monkeypatch):
     """Tiled kernel under the production L-vmap: the slab-based parameter
     cotangents must stay correct when vmap prepends its own grid
@@ -488,6 +491,7 @@ def test_fused_df_pathwise_matches_reference():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fused_df_pathwise_grads_match_reference():
     from vae_gp_ode_tpu.ops.df_pathwise import (
         fused_df_pathwise_eval, df_pathwise_reference)
@@ -508,6 +512,7 @@ def test_fused_df_pathwise_grads_match_reference():
                                    rtol=2e-3, atol=1e-5, err_msg=n)
 
 
+@pytest.mark.slow
 def test_df_fn_eval_pallas_dispatch_matches_jnp():
     """fn_eval with kernel DF must give identical values and fn-level
     grads through the Pallas dispatch (set_use_pallas(True), interpret on
@@ -599,6 +604,7 @@ def test_df_euler_flow_matches_reference_scan():
                                rtol=2e-4, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_df_euler_flow_grads_match_reference():
     """Discrete-adjoint backward == XLA reverse mode through the scan
     oracle, for every operand including dts."""
@@ -644,6 +650,7 @@ def test_df_fused_thresholds_pinned():
     assert ff._SINGLE_BLOCK_N == 256 and ff._TILE_N == 128
 
 
+@pytest.mark.slow
 def test_df_euler_flow_tiled_grid(monkeypatch):
     """Grid-tiled DF path (N > single-block threshold incl. ragged tail)
     == reference, forward and grads."""
@@ -675,6 +682,7 @@ def test_df_euler_flow_tiled_grid(monkeypatch):
                                    rtol=5e-3, atol=1e-5, err_msg=n)
 
 
+@pytest.mark.slow
 def test_df_flow_forward_fused_dispatch_matches_scan():
     """flow_forward with DF + euler + fuse_flow ON must equal the scan
     path (fuse OFF) for values AND hyperparameter grads - pins the
@@ -716,6 +724,7 @@ def test_df_flow_forward_fused_dispatch_matches_scan():
 # Grid-tiled wide-shape kernels (ops.pathwise_tiled / df_pathwise_tiled)
 # --------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_tiled_pathwise_matches_reference():
     """The (batch, k, feature-chunk) grid-tiled RBF kernel must match the
     oracle at in-envelope AND past-envelope (q=12, S=1024) shapes,
@@ -732,6 +741,7 @@ def test_tiled_pathwise_matches_reference():
                                    err_msg=str(kwargs))
 
 
+@pytest.mark.slow
 def test_tiled_pathwise_grads_match_reference():
     """Hand-written tiled backward: every operand cotangent must match
     the reference VJP, with accumulation across k and feature chunks."""

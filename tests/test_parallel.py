@@ -30,6 +30,7 @@ def test_make_mesh_shapes():
         make_mesh({'data': 3}, n_devices=8)
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     """One DP step over 8 devices must equal the single-device step."""
     model, variables, gp = init_model(
@@ -90,6 +91,7 @@ def test_feature_parallel_shared_lengthscale():
                                rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_data_parallel_epoch_matches_single_device():
     """A whole scanned EPOCH under data parallelism must equal the
     single-device scanned epoch (VERDICT round-1 item 3): multi-chip
@@ -155,6 +157,7 @@ def test_feature_parallel_flow_matches():
     assert int(nfe_fp) == int(nfe_ref)
 
 
+@pytest.mark.slow
 def test_shardmap_dp_step_matches_single_device_pallas():
     """shard_map DP step (per-shard Pallas kernels, VERDICT r2 #2) must
     equal the single-device step with Pallas ON: same loss, same updated
@@ -212,6 +215,7 @@ def test_shardmap_dp_step_matches_single_device_pallas():
                                    rtol=2e-2, atol=5e-4)
 
 
+@pytest.mark.slow
 def test_shardmap_dp_step_df_kernel():
     """The shard_map DP step with the DF kernel keeps the fused DF
     trajectory kernel per shard and matches single-device."""
@@ -245,6 +249,7 @@ def test_shardmap_dp_step_df_kernel():
                                rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_shardmap_dp_epoch_matches_single_device():
     """Whole-epoch scan over shard_map'd steps == single-device epoch
     (Pallas ON), metrics and final state."""
@@ -329,6 +334,7 @@ def test_feature_parallel_sharded_draw_validation():
         fp_draw_fn_sample(gp, jax.random.PRNGKey(1), 60, mesh)
 
 
+@pytest.mark.slow
 def test_shardmap_dp_segment_matches_single_device():
     """Multi-epoch DP segment (one dispatch for E epochs + evals, per-
     shard Pallas kernels) == the single-device make_train_segment on

@@ -46,6 +46,7 @@ import jax.numpy as jnp                        # noqa: E402
 __all__ = ['patch_ref_noise']                  # fixture re-export
 
 
+@pytest.mark.slow
 def test_q_diag_full_stack(patch_ref_noise):
     """Diagonal q(u) end to end: softplus scale, elementwise whitened
     inducing sample, diagonal closed-form KL (reference svpy.py:79-82,
@@ -55,6 +56,7 @@ def test_q_diag_full_stack(patch_ref_noise):
     assert_parity(ref, jx)
 
 
+@pytest.mark.slow
 def test_q_diag_df_full_stack(patch_ref_noise):
     """q_diag composes with the DF kernel (the inducing-sample branch is
     kernel-independent, svpy.py:93-100). zt atol is the DF float32

@@ -43,6 +43,7 @@ def tiny():
     return model, variables, gp, X
 
 
+@pytest.mark.slow
 def test_exported_matches_live_model(tiny):
     model, variables, gp, X = tiny
     fn = serving.make_forecast_fn(model, variables, gp, L=2)
@@ -94,6 +95,7 @@ def test_multi_platform_artifact(tiny):
     assert not _lapack_custom_calls(tpu_only.mlir_module())
 
 
+@pytest.mark.slow
 def test_symbolic_batch_serves_any_n(tiny):
     model, variables, gp, _ = tiny
     exported = serving.export_forecaster(model, variables, gp, T=T,
@@ -147,6 +149,7 @@ def test_bf16_serving_artifact(tiny):
         serving.make_forecast_fn(model, variables, gp, dtype='fp8')
 
 
+@pytest.mark.slow
 def test_mc_reduce_and_forecast_horizon(tiny):
     model, variables, gp, X = tiny
     full = serving.export_forecaster(model, variables, gp, T=T,

@@ -53,6 +53,7 @@ def test_training_reduces_test_mse():
     assert mse1 < 0.92 * mse0, f'test MSE {mse0} -> {mse1}'
 
 
+@pytest.mark.slow
 def test_model_with_dopri5_trains():
     """Adaptive-solver path through the full model + one train step."""
     model, variables, gp = init_model(
@@ -107,6 +108,7 @@ def test_epoch_cost_analysis_counts_scan_body_once():
         'epoch lowering cost should equal one train_step lowering cost')
 
 
+@pytest.mark.slow
 def test_fix_kernel_freezes_hyperparameters():
     """--fix_kernel replicates the reference's
     initialize_and_fix_kernel_parameters(fix=True) capability

@@ -18,6 +18,7 @@ VJP and back).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -35,6 +36,7 @@ def _rbf_operands_f64(key, N=6, S=16, M=8, D=4, K=4):
     return x, omega, phase, weights, Z, nu, ls, var
 
 
+@pytest.mark.slow
 def test_fused_pathwise_eval_x64_operands():
     from vae_gp_ode_tpu.ops.pathwise import (
         fused_pathwise_eval, pathwise_eval_reference)
@@ -60,6 +62,7 @@ def test_fused_pathwise_eval_x64_operands():
                                        rtol=5e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_euler_flow_x64_operands():
     from vae_gp_ode_tpu.ops.flow_fused import (
         fused_euler_flow, euler_flow_reference)
@@ -89,6 +92,7 @@ def test_fused_euler_flow_x64_operands():
                                    rtol=5e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_df_fused_entries_x64_operands():
     from vae_gp_ode_tpu.ops.df_pathwise import (
         fused_df_pathwise_eval, df_pathwise_reference)
@@ -163,6 +167,7 @@ def _kernel_avals_64bit(fn, *args):
     return bad
 
 
+@pytest.mark.slow
 def test_kernel_jaxprs_free_of_64bit_avals_under_x64():
     """Mosaic has NO 64-bit lowering; worse, its convert-element-type
     rule SELF-RECURSES to RecursionError on an i64->i32 convert (measured
@@ -200,6 +205,7 @@ def test_kernel_jaxprs_free_of_64bit_avals_under_x64():
                 ops_config.set_fuse_flow(True)
 
 
+@pytest.mark.slow
 def test_fn_eval_dispatch_x64_end_to_end():
     """The exact round-3 crash path: draw_fn_sample under x64 (f64 RFF
     draws) -> svgp.fn_eval -> fused Pallas dispatch. Must produce the jnp
