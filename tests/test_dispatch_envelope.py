@@ -91,7 +91,7 @@ def test_df_wide_shapes_dispatch_tiled_pallas():
 
 
 def test_df_beyond_tiled_gate_falls_back_to_xla():
-    # 6*(2*4096+100) = 49752 > the measured tiled corner 6*(2*1024+100)
+    # 6*(2*4096+100) = 49752 > the measured tiled corner 12*(2*1024+100)
     assert not _flow_jaxpr_probe('DF', D=6, S=4096, M=100, fuse=True)
     assert not _flow_jaxpr_probe('DF', D=6, S=4096, M=100, fuse=False)
 
@@ -113,8 +113,9 @@ def test_gate_formulas_pin_measured_boundary():
     assert not ops_config.rbf_tiled_fits(6, 4096, 100)
     assert ops_config.df_tiled_fits(6, 1024, 100)         # measured ok
     assert ops_config.df_tiled_fits(12, 256, 100)         # measured ok
-    assert not ops_config.df_tiled_fits(12, 1024, 100)    # unprobed
+    assert ops_config.df_tiled_fits(12, 1024, 100)        # measured ok (661 s compile)
     assert not ops_config.df_tiled_fits(6, 4096, 100)
+    assert not ops_config.df_tiled_fits(12, 4096, 100)    # unprobed
 
 
 def test_ignore_width_gates_override():

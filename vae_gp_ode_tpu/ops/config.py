@@ -116,11 +116,12 @@ def df_kernel_fits(D, S, M):
 # feature-chunk grid (the first, feature-only tiling still died in the
 # compile helper: the D^2-unrolled update body was the killer, not just
 # the panel). Measured on hardware (results/kernel_shapes_r5.jsonl):
-# D=6/S=1024 (566 s fwd compile) and D=12/S=256 both compile and match
-# the jnp oracle to 5e-7 rel, forward AND hand-written backward. Gate at
-# the widest MEASURED width D*(2S+M) = 6*(2048+100); D=12/S=1024 is
-# unprobed (extrapolating past a 566-s compile is not justified).
-_DF_TILED_MAX_COLS = 6 * (2 * 1024 + 100)
+# D=6/S=1024 (566 s fwd compile), D=12/S=256, and the full corner
+# D=12/S=1024 (661 s fwd compile, 9.7e-7 rel) all compile and match the
+# jnp oracle, forward AND hand-written backward. Gate at the widest
+# MEASURED width D*(2S+M) = 12*(2048+100); wider is unprobed
+# (extrapolating past a 661-s compile is not justified).
+_DF_TILED_MAX_COLS = 12 * (2 * 1024 + 100)
 
 
 def df_tiled_fits(D, S, M):
