@@ -96,7 +96,12 @@ def rbf_kernel_fits(K, S, M):
 # and match the jnp oracle to 3e-7, forward AND hand-written backward.
 # The gate is set at the widest MEASURED shape (q=12, S=1024, M=100),
 # not an extrapolation: compile time grows with the panel (245 s fwd at
-# the corner) and wider shapes are unprobed.
+# the corner) and wider shapes are unprobed. Speed at these shapes is
+# ~XLA@highest parity (interleaved A/B, results/ab_tiled_r5.jsonl:
+# 0.77-1.26x fwd, 0.85-1.16x grad, shape-dependent); the dispatch
+# preference buys forced-f32 accuracy - the jnp fallback runs at
+# DEFAULT matmul precision (bf16 on TPU, 4.7e-2 drift) - at no
+# measurable throughput cost.
 _RBF_TILED_MAX_COLS = 12 * (1024 + 100)
 
 
